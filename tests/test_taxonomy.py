@@ -1,0 +1,58 @@
+"""Unit tests for the rank-flexible fold and semicolon depth."""
+
+from utree_tpu.taxonomy import LabelTable, count_semicolons, fold_labels
+
+
+def test_fold_truncates_at_last_shared_semicolon():
+    old = b"k__a;p__b;c__c;o__d"
+    new = b"k__a;p__b;c__c;o__e"
+    assert fold_labels(old, new, 2) == b"k__a;p__b;c__c"
+
+
+def test_fold_bad_below_cutoff():
+    assert fold_labels(b"k__a;p__b", b"k__a;p__c", 2) is None
+    assert fold_labels(b"k__a;p__x", b"k__b;p__x", 2) is None
+
+
+def test_fold_erosion_quirk():
+    """old a proper prefix of new: the boundary ';' is NOT counted, so the
+    node erodes one extra rank (itree.c:287-293 walk ends at old's '\\0')."""
+    old = b"k__a;p__b;c__c"
+    new = b"k__a;p__b;c__c;o__d"
+    # shared ';' seen inside the equal region: after k__a and after p__b only
+    assert fold_labels(old, new, 2) == b"k__a;p__b"
+
+
+def test_fold_chain_erodes_progressively():
+    t = LabelTable()
+    strains = [
+        b"k__a;p__b;c__c;o__d;f__e;g__f;s__1",
+        b"k__a;p__b;c__c;o__d;f__e;g__f;s__2",
+        b"k__a;p__b;c__c;o__d;f__e;g__f;s__3",
+    ]
+    state = strains[0]
+    state = fold_labels(state, strains[1], 2)
+    assert state == b"k__a;p__b;c__c;o__d;f__e;g__f"
+    # next conflicting strain erodes one MORE rank (prefix case)
+    state = fold_labels(state, strains[2], 2)
+    assert state == b"k__a;p__b;c__c;o__d;f__e"
+
+
+def test_label_table_insertion_order():
+    t = LabelTable()
+    assert t.get_or_add(b"x") == 0
+    assert t.get_or_add(b"y") == 1
+    assert t.get_or_add(b"x") == 0
+    assert len(t) == 2
+
+
+def test_count_semicolons():
+    assert count_semicolons(b"k__a;p__b;c__c") == 2
+    # stop at first ';' preceded by '_'
+    assert count_semicolons(b"k__a;p__;c__c") == 1
+    # 6 semicolons + non-'_' final char bumps to 7 (itree.c:1197)
+    assert count_semicolons(b"k;p;c;o;f;g;s") == 7
+    full = b"k__a;p__b;c__c;o__d;f__e;g__f;s__g"
+    assert count_semicolons(full) == 7
+    # blank last rank: no bump
+    assert count_semicolons(b"k__a;p__b;c__c;o__d;f__e;g__f;s__") == 6

@@ -1,0 +1,24 @@
+"""utree_tpu — a TPU-native metagenomic k-mer profiler.
+
+A from-scratch reimplementation of the capabilities of knights-lab/UTree
+(reference: itree.c + xtree.c) designed TPU-first:
+
+- Database build is sort-based (NumPy/host) instead of pointer-chasing BSTs
+  (reference: itree.c:242-473), replaying the reference's rank-flexible
+  label-fold semantics exactly (itree.c:268-307).
+- The compressed search index is a flat, HBM-resident structure-of-arrays
+  (prefix bin offsets + 40-bit suffixes split into int32 lanes + label ids),
+  byte-compatible with the reference .ctr format (itree.c:1234-1315).
+- Search runs as a jit/Pallas batched lookup whose probe sequence is
+  bit-identical to the reference's xtSuffixBS (itree.c:699-730).
+- Scaling is jax.sharding over a device Mesh: data-parallel replicated-table
+  mode and prefix-sharded table mode with collective routing, replacing the
+  reference's single-node OpenMP (itree.c:1009, xtree.c:1012).
+"""
+
+from utree_tpu.config import UTreeConfig
+from utree_tpu.taxonomy import LabelTable
+
+__version__ = "0.1.0"
+
+__all__ = ["UTreeConfig", "LabelTable", "__version__"]

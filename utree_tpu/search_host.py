@@ -1,0 +1,106 @@
+"""Host (NumPy) search pipeline — the exactness reference for the device path.
+
+Implements utree-searchGG (XT_doSearch32, itree.c:833-1108) against a loaded
+CTR index: per read, every valid k-mer window (forward + optional RC) is
+looked up with the exact xtSuffixBS probe sequence (itree.c:699-730), hits
+below the label count are histogrammed, and the aufbau vote emits the output
+line.  Output equals the reference binary's classifications.txt run with one
+thread (thread count only permutes its line order, itree.c:1009-1101).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from utree_tpu.classify import aufbau_vote
+from utree_tpu.config import UTreeConfig
+from utree_tpu.encode import search_window_words
+from utree_tpu.formats import CtrData, read_ctr
+from utree_tpu.io.fasta import iter_fasta_records
+from utree_tpu.taxonomy import count_semicolons
+
+
+@dataclasses.dataclass
+class HostIndex:
+    """CTR index in flat NumPy arrays."""
+
+    bin_ix: np.ndarray  # int64 [2^24+1]
+    suffixes: np.ndarray  # uint64 [N] (40-bit values)
+    ixs: np.ndarray  # int64 [N]
+    strings: list[bytes]
+    semicolons: np.ndarray  # uint8 per label (EXTRA_ADD_DELIM, itree.c:1188-1199)
+    config: UTreeConfig
+
+    @property
+    def num_labels(self) -> int:
+        return len(self.strings)
+
+    @classmethod
+    def from_ctr(cls, ctr: CtrData | str, config: UTreeConfig = UTreeConfig()) -> "HostIndex":
+        if isinstance(ctr, str):
+            ctr = read_ctr(ctr, config)
+        semis = np.array([count_semicolons(s) for s in ctr.labels], dtype=np.uint8)
+        return cls(ctr.bin_ix, ctr.suffixes, ctr.ixs, ctr.labels, semis, config)
+
+
+def lookup_words(index: HostIndex, words: np.ndarray) -> np.ndarray:
+    """Vectorized exact replay of XT_getIX32 + xtSuffixBS (itree.c:699-730).
+
+    The probe loop is replayed literally — `while size: w=size>>1;
+    if suffix[p+w+1] <= q: p+=w+1, size-=w+1; else size=w` — so results match
+    the reference even over the quirky merged bins the compressor can emit
+    (see formats.compute_bin_ix).  Returns BAD (=2^8*ixtype-1) for misses.
+    """
+    cfg = index.config
+    words = np.asarray(words, dtype=np.uint64)
+    qpre = (words >> np.uint64(cfg.ctr_suffix_bits)).astype(np.int64)
+    qsuf = words & np.uint64(cfg.suffix_mask)
+    start = index.bin_ix[qpre]
+    end = index.bin_ix[qpre + 1]
+    empty = start >= end
+    p = np.where(empty, np.int64(0), start)
+    size = np.where(empty, np.int64(0), end - start - 1)
+    suf = index.suffixes
+    while True:
+        active = size > 0
+        if not active.any():
+            break
+        w = size >> 1
+        probe = np.minimum(p + w + 1, len(suf) - 1)  # clamp only for inactive lanes
+        le = active & (suf[probe] <= qsuf)
+        p = np.where(le, p + w + 1, p)
+        size = np.where(active, np.where(le, size - w - 1, w), size)
+    found = (~empty) & (suf[np.minimum(p, len(suf) - 1)] == qsuf)
+    out = np.full(len(words), cfg.bad_ix, dtype=np.int64)
+    out[found] = index.ixs[p[found]]
+    return out
+
+
+def classify_read(
+    index: HostIndex, name: bytes, seq: bytes, do_rc: bool = False
+) -> bytes | None:
+    """One read -> output line (no newline) or None (itree.c:1020-1098)."""
+    words = search_window_words(seq, index.config.packsize, do_rc)
+    if len(words) == 0:
+        return None
+    ixs = lookup_words(index, words)
+    hits = ixs[ixs < index.num_labels]
+    return aufbau_vote(name, hits, index.strings, index.config.taxacut)
+
+
+def search_file(
+    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False
+) -> int:
+    """Full searchGG over a reads file; returns the number of queries."""
+    n = 0
+    with open(out_path, "wb") as fo:
+        for header, seq in iter_fasta_records(reads_path):
+            n += 1
+            # search cuts the name at the first space (itree.c:881-882)
+            name = header.split(b" ")[0]
+            line = classify_read(index, name, seq, do_rc)
+            if line is not None:
+                fo.write(line + b"\n")
+    return n
