@@ -1,0 +1,96 @@
+"""Benchmark: end-to-end search throughput (reads/sec) on one chip.
+
+Builds an L2-shaped synthetic index (default 20M k-mers ≈ the per-GB density
+of the reference's RefSeq L2 CTR), generates 150bp reads sampled from the
+same synthetic genome (so hit rates are realistic), and measures the full
+pipeline: host batch packing -> device encode+RC+window+lookup -> host
+histogram + aufbau vote + line formatting.
+
+Prints ONE JSON line.  vs_baseline is against the reference's published
+16M reads/min (~266,667 reads/s) on a 32-core Ivy Bridge server with the L2
+DB (README.md:2) — i.e. vs_baseline=1.0 equals the whole reference server,
+on a single chip.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    num_kmers = int(os.environ.get("BENCH_KMERS", 20_000_000))
+    num_reads = int(os.environ.get("BENCH_READS", 200_000))
+    read_len = int(os.environ.get("BENCH_READ_LEN", 150))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    num_labels = int(os.environ.get("BENCH_LABELS", 4096))
+    do_rc = os.environ.get("BENCH_RC", "1") == "1"
+
+    from utree_tpu.config import UTreeConfig
+    from utree_tpu.encode import sample_build_kmers
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.pipeline import SearchPipeline
+
+    cfg = UTreeConfig()
+    rng = np.random.default_rng(0)
+
+    # synthetic genome -> its dense 32-mer set is the DB (realistic prefix
+    # distribution and bin sizes); labels are random taxonomies
+    genome_len = num_kmers + 31
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=genome_len).astype(np.uint8)
+    words = sample_build_kmers(genome.tobytes(), cfg.packsize, 0)
+    order = np.argsort(words, kind="stable")
+    sw = words[order]
+    keep = np.empty(len(sw), bool)
+    keep[0] = True
+    keep[1:] = sw[1:] != sw[:-1]
+    sw = sw[keep]
+    ixs = rng.integers(0, num_labels, size=len(sw)).astype(np.int64)
+    ranks = b"kpcofgst"
+    labels = []
+    for i in range(num_labels):
+        stem = rng.integers(0, 26, size=4)
+        tok = bytes(97 + stem)
+        labels.append(b";".join(ranks[d : d + 1] + b"__" + tok + str(i % 97).encode() for d in range(8)))
+    index = DeviceIndexArrays.from_build(sw, ixs, labels, cfg)
+
+    # reads sampled from the genome (with light mutation) + 10% random
+    starts = rng.integers(0, genome_len - read_len, size=num_reads)
+    gather = starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[gather]
+    mut = rng.random(reads.shape) < 0.01
+    reads[mut] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=int(mut.sum()))
+    rand_rows = rng.random(num_reads) < 0.10
+    reads[rand_rows] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(int(rand_rows.sum()), read_len))
+    names = [b"r%d" % i for i in range(num_reads)]
+
+    pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch)
+
+    # warmup (compile)
+    seqs0 = [reads[i].tobytes() for i in range(batch)]
+    pipe.classify_batch(names[:batch], seqs0)
+
+    t0 = time.perf_counter()
+    done = 0
+    lines = 0
+    while done < num_reads:
+        hi = min(done + batch, num_reads)
+        seqs = [reads[i].tobytes() for i in range(done, hi)]
+        out = pipe.classify_batch(names[done:hi], seqs)
+        lines += sum(1 for l in out if l is not None)
+        done = hi
+    dt = time.perf_counter() - t0
+
+    rps = num_reads / dt
+    baseline = 16_000_000 / 60.0  # reference: 16M reads/min on 32-core server
+    print(json.dumps({
+        "metric": "search_reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,20 @@ virtual CPU devices (jax.sharding over --xla_force_host_platform_device_count).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Disable the axon TPU-tunnel registration (its sitecustomize would force
+# jax_platforms=axon) and run on 8 virtual CPU devices instead.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize may have already run register(), which calls
+# jax.config.update("jax_platforms", "axon,cpu"); backends are lazy, so
+# overriding back to cpu here still wins.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

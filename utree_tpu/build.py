@@ -49,8 +49,12 @@ class BuildResult:
 
 
 def build_database(
-    fasta_path: str, map_path: str, config: UTreeConfig = UTreeConfig()
+    fasta_path: str, map_path: str, config: UTreeConfig = UTreeConfig(),
+    do_gg: bool = True,
 ) -> BuildResult:
+    """do_gg=True: rank-flexible fold build (utree-buildGG).  do_gg=False:
+    rank-specific build (utree-build, xeTreeU itree.c:242-266): any label
+    conflict poisons the k-mer outright, so conflicted words simply drop."""
     tax_map = read_tax_map(map_path)
     k, lv, cc = config.packsize, config.complevel, config.critical_cutoff
 
@@ -95,7 +99,7 @@ def build_database(
     node_state: dict[int, bytes | int] = {}
     for rwords, label in zip(rec_words, rec_labels):
         final.get_or_add(label)  # addSampleU per record, itree.c:593
-        if len(rwords) == 0 or len(conflicted_words) == 0:
+        if len(rwords) == 0 or len(conflicted_words) == 0 or not do_gg:
             continue
         pos = np.searchsorted(conflicted_words, rwords)
         hit = (pos < len(conflicted_words)) & (
@@ -121,7 +125,10 @@ def build_database(
     prov_to_final = np.array([final.get_or_add(s) for s in prov.strings], dtype=np.int64)
     out_ix = prov_to_final[sp[starts]]  # correct for non-conflicted groups
     keep = np.ones(len(uniq_words), dtype=bool)
-    if len(conflicted_words):
+    if len(conflicted_words) and not do_gg:
+        # rank-specific build: every conflicted word went BAD (itree.c:260-264)
+        keep[conflicted_mask] = False
+    elif len(conflicted_words):
         cpos = np.flatnonzero(conflicted_mask)
         for local_i, gi in enumerate(cpos):
             state = node_state[int(uniq_words[gi])]

@@ -36,17 +36,30 @@ def aufbau_vote(
     before the walk, itree.c:1041).  `name` is the query name already cut at
     the first space (itree.c:881-882).
     """
-    found_uniq = len(hit_ixs)
-    if found_uniq == 0:
+    if len(hit_ixs) == 0:
         return None
-    if found_uniq == 1:
-        return name + b"\t" + strings[int(hit_ixs[0])] + b"\t1\t1\t*"
     counts = np.bincount(np.asarray(hit_ixs, dtype=np.int64))
     nz = np.flatnonzero(counts)
-    if len(nz) == 1:
-        return name + b"\t" + strings[int(hit_ixs[0])] + b"\t" + str(found_uniq).encode() + b"\t1\t*"
+    return aufbau_vote_counts(name, nz, counts[nz], strings, taxacut)
+
+
+def aufbau_vote_counts(
+    name: bytes,
+    uniq_ixs: np.ndarray,
+    counts: np.ndarray,
+    strings: list[bytes],
+    taxacut: int = 4,
+) -> bytes | None:
+    """aufbau_vote from a precomputed per-read histogram (device pipeline path)."""
+    if len(uniq_ixs) == 0:
+        return None
+    found_uniq = int(np.sum(counts))
+    if found_uniq == 1:
+        return name + b"\t" + strings[int(uniq_ixs[0])] + b"\t1\t1\t*"
+    if len(uniq_ixs) == 1:
+        return name + b"\t" + strings[int(uniq_ixs[0])] + b"\t" + str(found_uniq).encode() + b"\t1\t*"
     # Tax_Cnt sorted by label string (byStr/qsort, itree.c:1041)
-    tax_cnt = sorted(((strings[int(i)], int(counts[i])) for i in nz), key=lambda t: t[0])
+    tax_cnt = sorted(((strings[int(i)], int(c)) for i, c in zip(uniq_ixs, counts)), key=lambda t: t[0])
     uix = len(tax_cnt)
     toprint, sl, ol = _aufbau_walk(tax_cnt, found_uniq, taxacut)
     return (
@@ -138,53 +151,74 @@ def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int
     return toprint, sl, ol
 
 
-def shallow_vote(
-    name: bytes,
-    hit_ixs: list[int],
-    strings: list[bytes],
-    tolerance: int = 2,
-    slack: int = 2,
-) -> bytes | None:
-    """Rank-specific (non-GG) vote, itree.c:980-1003.  `hit_ixs` must already
-    be the SPARSITY-subsampled hits in scan order (itree.c:948-951)."""
-    if not hit_ixs:
-        return None
-    kings_men = len(hit_ixs)
-    if kings_men == 1:
-        return name + b"\t" + strings[hit_ixs[0]]
-    counts: dict[int, int] = {}
-    for ix in hit_ixs:
-        counts[ix] = counts.get(ix, 0) + 1
-    most = second = 0
-    most_ix = None
-    for ix in hit_ixs:  # scan order determines tie resolution, as in C
-        c = counts[ix]
-        if c > most:
-            second = most
-            most_ix = ix
-            most = c
-        elif c > second:
-            second = c
-        counts[ix] = 0
-        counts[ix] = c  # C zeroes Hashes as it goes; emulate single-pass max
-    # Re-emulate exactly: the C loop zeroes each hash after reading, so later
-    # duplicates of the same ix read 0.  Do that literally:
-    counts = {}
-    for ix in hit_ixs:
-        counts[ix] = counts.get(ix, 0) + 1
-    seen: dict[int, int] = dict(counts)
-    most = second = 0
-    most_ix = None
-    for ix in hit_ixs:
-        c = seen.get(ix, 0)
-        if c > most:
-            second = most
-            most_ix = ix
-            most = c
-        elif c > second:
-            second = c
-        seen[ix] = 0
-    if most < tolerance or most < slack * second:
-        return None
-    conf = 1.0 - second / most
-    return name + b"\t" + strings[most_ix] + b"\t" + (b"%f" % conf) + b"\t" + str(most).encode()
+class ShallowVoter:
+    """Rank-specific (non-GG) vote, itree.c:969-1006 — stateful, because the
+    reference has a read-one-past bug we must reproduce: `if (!kingsMen++)`
+    (itree.c:982) post-increments before the tally loops run with the
+    incremented count, so the vote always includes ONE phantom entry —
+    AllTheKingsHorses[kingsMen], which holds the previous read's hit at that
+    slot (or 0 from the calloc-like fresh mmap pages of the 64MB malloc,
+    itree.c:970).  Single-threaded this is fully deterministic; we keep the
+    same persistent buffer."""
+
+    def __init__(self, strings: list[bytes], tolerance: int = 2, slack: int = 2):
+        self.strings = strings
+        self.tolerance = tolerance
+        self.slack = slack
+        self.buffer: list[int] = []  # persistent AllTheKingsHorses; absent slots read 0
+
+    def _slot(self, i: int) -> int:
+        return self.buffer[i] if i < len(self.buffer) else 0
+
+    def vote(self, name: bytes, hit_ixs: list[int]) -> bytes | None:
+        """`hit_ixs`: SPARSITY-subsampled hits in scan order (itree.c:948-951)."""
+        if not hit_ixs:
+            return None
+        # write this read's hits over the persistent buffer
+        for i, ix in enumerate(hit_ixs):
+            if i < len(self.buffer):
+                self.buffer[i] = int(ix)
+            else:
+                self.buffer.append(int(ix))
+        kings_men = len(hit_ixs) + 1  # the post-increment bug
+        entries = [self._slot(i) for i in range(kings_men)]
+        hashes: dict[int, int] = {}
+        for ix in entries:
+            hashes[ix] = hashes.get(ix, 0) + 1
+        most = second = 0
+        most_ix = None
+        for ix in entries:
+            c = hashes.get(ix, 0)
+            if c > most:
+                second = most
+                most_ix = ix
+                most = c
+            elif c > second:
+                second = c
+            hashes[ix] = 0  # Hashes zeroed as read (itree.c:996)
+        if most < self.tolerance or most < self.slack * second:
+            return None
+        conf = 1.0 - second / most
+        return (
+            name + b"\t" + self.strings[most_ix] + b"\t" + (b"%f" % conf)
+            + b"\t" + str(most).encode()
+        )
+
+
+def subsample_hits(starts: np.ndarray, ixs: np.ndarray, max_ix: int, packsize: int, sparsity: int):
+    """Apply the shallow scan's skip-after-hit rule (XT_SHALLOWVOTE,
+    itree.c:948-951): after a hit at window start s, the next
+    packsize/sparsity - 1 windows are not even looked up.
+
+    `starts`/`ixs`: positions and lookup results of all VALID windows in scan
+    order.  Returns the recorded hit ids in order."""
+    step = packsize // sparsity
+    out = []
+    next_allowed = 0
+    for s, ix in zip(starts, ixs):
+        if s < next_allowed:
+            continue
+        if ix < max_ix:
+            out.append(int(ix))
+            next_allowed = int(s) + step
+    return out

@@ -91,6 +91,24 @@ def sample_build_kmers(seq: bytes, k: int, complevel: int) -> np.ndarray:
     return _pack_words_u64(codes, starts, k)
 
 
+def search_window_words_positions(seq: bytes, k: int, do_rc: bool):
+    """Like search_window_words but also returns each window's start position
+    (over the RC-extended text) — needed by the rank-specific search's
+    skip-after-hit subsampling (itree.c:948-951)."""
+    if do_rc:
+        seq = seq + b"N" + revcomp_text(seq)
+    codes = encode_bases(seq)
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    valid = codes != INVALID
+    inv_cum = np.concatenate(([0], np.cumsum(~valid).astype(np.int64)))
+    starts = np.arange(0, n - k + 1)
+    ok = (inv_cum[starts + k] - inv_cum[starts]) == 0
+    starts = starts[ok]
+    return _pack_words_u64(codes, starts, k), starts
+
+
 def search_window_words(seq: bytes, k: int, do_rc: bool) -> np.ndarray:
     """All valid k-mer words scanned by the search loop, in scan order.
 

@@ -1,0 +1,137 @@
+"""Device-side window extraction and k-mer lookup (jit path).
+
+Window extraction turns a padded batch of ASCII reads into per-window
+(prefix24, suffix_hi8, suffix_lo32) lanes + validity mask — the vectorized
+equivalent of the search scan loop (XT_WORD_SEARCH, itree.c:903-933) with the
+RC text append (itree.c:891-897).
+
+Lookup replays the reference probe sequence (xtSuffixBS + XT_getIX32,
+itree.c:699-730) exactly: `while size: w=size>>1; if suf[p+w+1] <= q:
+p+=w+1, size-=w+1 else size=w`, with the 40-bit suffix comparison done on
+(hi8:int32, lo32:uint32) lanes — TPUs have no fast u64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# device-side base-code table: A=0 C=1 G=2 T=3, INVALID=4 (compact for device)
+DINVALID = 4
+_DEV_CODE = np.full(256, DINVALID, dtype=np.int32)
+for _b, _c in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"Tt", 3)):
+    for _ch in _b:
+        _DEV_CODE[_ch] = _c
+
+
+def base_codes(reads_u8: jax.Array, lengths: jax.Array) -> jax.Array:
+    """(B, L) uint8 ASCII -> (B, L) int32 codes; positions >= length invalid."""
+    table = jnp.asarray(_DEV_CODE)
+    codes = table[reads_u8.astype(jnp.int32)]
+    pos = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+    return jnp.where(pos < lengths[:, None], codes, DINVALID)
+
+
+def append_rc(codes: jax.Array, lengths: jax.Array) -> jax.Array:
+    """(B, L) codes -> (B, 2L+1): forward, sentinel, reverse complement.
+
+    Mirrors the search's text-level RC append (itree.c:891-897): position
+    `length` becomes a sentinel (invalid), positions length+1..2*length hold
+    3-code of the read reversed (invalid stays invalid)."""
+    b, l = codes.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * l + 1), 1)
+    ln = lengths[:, None]
+    rc_idx = jnp.clip(2 * ln - t, 0, l - 1)
+    rc_src = jnp.take_along_axis(codes, rc_idx, axis=1)
+    rc_val = jnp.where(rc_src <= 3, 3 - rc_src, DINVALID)
+    fwd_idx = jnp.clip(t, 0, l - 1)
+    fwd_val = jnp.take_along_axis(codes, fwd_idx, axis=1)
+    return jnp.where(t < ln, fwd_val, jnp.where((t > ln) & (t <= 2 * ln), rc_val, DINVALID))
+
+
+def extract_windows(codes: jax.Array, k: int = 32):
+    """Slide k-mers over (B, T) codes.
+
+    Returns (qpre int32, qhi int32, qlo uint32, valid bool), each (B, T-k+1).
+    Packing is MSB-first 2 bits/base (itree.c:617-621) split as the .ctr does:
+    prefix = first 12 bases, suffix hi = bases 12..15, lo = bases 16..31.
+    For k=64 call with the two-lane variant (see extract_windows64)."""
+    if k != 32:
+        raise NotImplementedError("extract_windows implements the 32-mer geometry")
+    b, t = codes.shape
+    w = t - k + 1
+    if w <= 0:
+        raise ValueError("reads shorter than k after padding")
+    qpre = jnp.zeros((b, w), jnp.int32)
+    qhi = jnp.zeros((b, w), jnp.int32)
+    qlo = jnp.zeros((b, w), jnp.uint32)
+    valid = jnp.ones((b, w), jnp.bool_)
+    for j in range(k):
+        c = jax.lax.dynamic_slice_in_dim(codes, j, w, axis=1)
+        valid &= c <= 3
+        cc = jnp.where(c <= 3, c, 0)
+        if j < 12:
+            qpre = qpre | (cc << (2 * (11 - j)))
+        elif j < 16:
+            qhi = qhi | (cc << (2 * (15 - j)))
+        else:
+            qlo = qlo | (cc.astype(jnp.uint32) << (2 * (31 - j)))
+    return qpre, qhi, qlo, valid
+
+
+def _suffix_le(hi_a, lo_a, hi_b, lo_b):
+    """(hi_a, lo_a) <= (hi_b, lo_b) on 40-bit suffix lanes."""
+    return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a <= lo_b))
+
+
+@functools.partial(jax.jit, static_argnames=("probe_iters", "bad_ix"))
+def lookup_kmers(
+    table: dict,
+    qpre: jax.Array,
+    qhi: jax.Array,
+    qlo: jax.Array,
+    valid: jax.Array,
+    probe_iters: int,
+    bad_ix: int,
+):
+    """Batched exact replay of XT_getIX32 (itree.c:720-730).
+
+    `table` = {bin_ix, suf_hi, suf_lo, ix} from DeviceIndexArrays.device_put.
+    Returns int32 label ids, bad_ix for misses/invalid windows."""
+    bin_ix, suf_hi, suf_lo, ix_arr = table["bin_ix"], table["suf_hi"], table["suf_lo"], table["ix"]
+    n = suf_hi.shape[0] - 1  # one sentinel pad record
+
+    pre = jnp.where(valid, qpre, 0)
+    start = bin_ix[pre].astype(jnp.int32)
+    end = bin_ix[pre + 1].astype(jnp.int32)
+    empty = start >= end
+    p = jnp.where(empty, 0, start)
+    size = jnp.where(empty, 0, end - start - 1)
+
+    def body(_, carry):
+        p, size = carry
+        active = size > 0
+        w = size >> 1
+        probe = jnp.minimum(p + w + 1, n)
+        le = active & _suffix_le(suf_hi[probe], suf_lo[probe], qhi, qlo)
+        p = jnp.where(le, p + w + 1, p)
+        size = jnp.where(active, jnp.where(le, size - w - 1, w), size)
+        return p, size
+
+    p, _ = jax.lax.fori_loop(0, probe_iters, body, (p, size))
+    p = jnp.minimum(p, n)
+    found = (~empty) & valid & (suf_hi[p] == qhi) & (suf_lo[p] == qlo)
+    return jnp.where(found, ix_arr[p], bad_ix)
+
+
+def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
+                k: int, do_rc: bool, probe_iters: int, bad_ix: int):
+    """Full device step: ASCII reads -> per-window label ids (bad_ix = miss)."""
+    codes = base_codes(reads_u8, lengths)
+    if do_rc:
+        codes = append_rc(codes, lengths)
+    qpre, qhi, qlo, valid = extract_windows(codes, k)
+    return lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)

@@ -48,7 +48,8 @@ def build_oracle(extra_defs: tuple[str, ...] = (), suffix: str = "") -> dict[str
 
 
 def run_oracle_pipeline(
-    fasta: str, tax_map: str, reads: str, workdir: str, complevel: int = 1, do_rc: bool = False
+    fasta: str, tax_map: str, reads: str, workdir: str, complevel: int = 1,
+    do_rc: bool = False, gg: bool = True,
 ) -> dict[str, pathlib.Path]:
     """build -> compress -> search with the reference binaries (1 thread)."""
     bins = build_oracle()
@@ -58,13 +59,16 @@ def run_oracle_pipeline(
     ctr = wd / "db.ctr"
     cls = wd / "classifications.txt"
     env = dict(os.environ, OMP_NUM_THREADS="1")
+    build_bin = bins["utree-buildGG" if gg else "utree-build"]
+    search_bin = bins["utree-searchGG" if gg else "utree-search"]
     subprocess.run(
-        [bins["utree-buildGG"], fasta, tax_map, str(ubt), "1", str(complevel)],
+        [build_bin, fasta, tax_map, str(ubt), "1", str(complevel)],
         check=True, capture_output=True, env=env,
     )
     subprocess.run([bins["utree-compress"], str(ubt), str(ctr)], check=True, capture_output=True, env=env)
-    cmd = [bins["utree-searchGG"], str(ctr), reads, str(cls), "1"]
+    cmd = [search_bin, str(ctr), reads, str(cls), "1"]
     if do_rc:
         cmd.append("RC")
     subprocess.run(cmd, check=True, capture_output=True, env=env)
-    return {"ubt": ubt, "ctr": ctr, "classifications": cls, "log": wd / "db.ubt.gg.log"}
+    log = wd / ("db.ubt.gg.log" if gg else "db.ubt.log")
+    return {"ubt": ubt, "ctr": ctr, "classifications": cls, "log": log}

@@ -104,3 +104,101 @@ def search_file(
             if line is not None:
                 fo.write(line + b"\n")
     return n
+
+
+def _lookup_one(index: HostIndex, word: int) -> int:
+    """Single-word XT_getIX32 replay (itree.c:699-730)."""
+    cfg = index.config
+    qpre = word >> cfg.ctr_suffix_bits
+    qsuf = word & cfg.suffix_mask
+    start = int(index.bin_ix[qpre])
+    end = int(index.bin_ix[qpre + 1])
+    if start >= end:
+        return cfg.bad_ix
+    suf = index.suffixes
+    p, size = start, end - start - 1
+    while size:
+        w = size >> 1
+        if int(suf[p + w + 1]) <= qsuf:
+            p += w + 1
+            size -= w + 1
+        else:
+            size = w
+    return int(index.ixs[p]) if int(suf[p]) == qsuf else cfg.bad_ix
+
+
+def scan_shallow_literal(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
+    """Literal replay of XT_WORD_SEARCH + XT_SHALLOWVOTE (itree.c:903-951).
+
+    The shallow vote's skip-after-hit (`i += PACKSIZE/SPARSITY - 1`) re-enters
+    the incremental encoder with a gap > 1, and its catch-up shift
+    `w <<= (i-z-1)<<1` plus the per-base append shifts OVER-shifts the word
+    (itree.c:920-924) — the reference then looks up corrupted k-mers until the
+    corruption rolls out or a bad character forces a re-encode.  Bit-exact
+    output requires replaying that word state machine literally, so this path
+    is a sequential scan (the GG search never skips and is unaffected)."""
+    from utree_tpu.encode import INVALID, encode_bases, revcomp_text
+
+    cfg = index.config
+    k1 = cfg.packsize - 1
+    kv = k1
+    step = cfg.packsize // cfg.sparsity - 1
+    mask = (1 << cfg.word_bits) - 1
+    if do_rc:
+        seq = seq + b"N" + revcomp_text(seq)
+    codes = encode_bases(seq)
+    length = len(codes)
+    max_ix = index.num_labels
+    hits: list[int] = []
+    w = 0
+    i = kv
+    z = -4
+    while i < length:
+        if i < z + kv:
+            w = (w << ((i - z - 1) << 1)) & mask
+            j = z + 1
+        else:
+            w = 0
+            j = i - k1
+        p = j
+        broke = False
+        while j <= i:
+            c = int(codes[j])
+            if c == INVALID or c > 3:
+                i += j - p
+                z = 0
+                broke = True
+                break
+            w = ((w << 2) | c) & mask
+            j += 1
+        if broke:
+            i += 1
+            continue
+        z = i
+        ix = _lookup_one(index, w)
+        if ix < max_ix:
+            hits.append(ix)
+            i += step
+        i += 1
+    return hits
+
+
+def search_file_shallow(
+    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False
+) -> int:
+    """Rank-specific search (utree-search, doCollapse=0 path itree.c:969-1006):
+    SPARSITY-subsampled hits, majority vote with TOLERANCE/SLACK rejection."""
+    from utree_tpu.classify import ShallowVoter
+
+    cfg = index.config
+    voter = ShallowVoter(index.strings, cfg.tolerance, cfg.slack)
+    n = 0
+    with open(out_path, "wb") as fo:
+        for header, seq in iter_fasta_records(reads_path):
+            n += 1
+            name = header.split(b" ")[0]
+            hits = scan_shallow_literal(index, seq, do_rc)
+            line = voter.vote(name, hits)
+            if line is not None:
+                fo.write(line + b"\n")
+    return n
