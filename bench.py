@@ -71,15 +71,21 @@ def main():
     seqs0 = [reads[i].tobytes() for i in range(batch)]
     pipe.classify_batch(names[:batch], seqs0)
 
+    # steady state: async dispatch queue overlapping transfers/compute/vote
     t0 = time.perf_counter()
     done = 0
     lines = 0
-    while done < num_reads:
-        hi = min(done + batch, num_reads)
-        seqs = [reads[i].tobytes() for i in range(done, hi)]
-        out = pipe.classify_batch(names[done:hi], seqs)
-        lines += sum(1 for l in out if l is not None)
-        done = hi
+    pending = []
+    while done < num_reads or pending:
+        if done < num_reads and len(pending) < 3:
+            hi = min(done + batch, num_reads)
+            seqs = [reads[i].tobytes() for i in range(done, hi)]
+            pending.append((names[done:hi], seqs, pipe.dispatch(seqs)))
+            done = hi
+        else:
+            bn, bs, h = pending.pop(0)
+            out = pipe.finalize(bn, bs, h)
+            lines += sum(1 for l in out if l is not None)
     dt = time.perf_counter() - t0
 
     rps = num_reads / dt

@@ -1,0 +1,101 @@
+"""XTree capability layer golden tests vs the reference xtree binary."""
+
+import pytest
+
+from utree_tpu.oracle import run_xtree_oracle
+from utree_tpu.testdata import make_toy_db, make_toy_reads
+from utree_tpu.xtree.align import AlignOptions, XtreeAligner
+from utree_tpu.xtree.build import build_xtree_db, read_xtr, write_xtr
+
+
+@pytest.fixture(scope="module")
+def xtoy(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("xtoy")
+    recs = make_toy_db(str(wd / "refs.fa"), str(wd / "tax.map"), num_refs=8, ref_len=3000, seed=21)
+    make_toy_reads(str(wd / "reads.fa"), recs, num_reads=300, read_len=120, seed=31)
+    rows = [l.split(b"\t") for l in (wd / "tax.map").read_bytes().split(b"\n") if l]
+    with open(wd / "tax3.map", "wb") as f:
+        for i, (k, v) in enumerate(rows):
+            f.write(k + b"\t" + v + b"\tfunc__" + str(i % 3).encode() + b"\n")
+    run_xtree_oracle([
+        "BUILD", "--seqs", str(wd / "refs.fa"), "--map", str(wd / "tax3.map"),
+        "--db-out", str(wd / "gold.xtr"), "--k", "29", "--comp", "0",
+    ])
+    return wd
+
+
+def test_xtr_build_bytes_identical(xtoy, tmp_path):
+    db = build_xtree_db(str(xtoy / "refs.fa"), str(xtoy / "tax3.map"), k=29, comp=0)
+    ours = tmp_path / "ours.xtr"
+    write_xtr(db, str(ours))
+    assert ours.read_bytes() == (xtoy / "gold.xtr").read_bytes()
+
+
+def test_xtr_build_comp2_identical(xtoy, tmp_path):
+    run_xtree_oracle([
+        "BUILD", "--seqs", str(xtoy / "refs.fa"), "--map", str(xtoy / "tax3.map"),
+        "--db-out", str(tmp_path / "gold2.xtr"), "--k", "29", "--comp", "2",
+    ])
+    db = build_xtree_db(str(xtoy / "refs.fa"), str(xtoy / "tax3.map"), k=29, comp=2)
+    write_xtr(db, str(tmp_path / "ours2.xtr"))
+    assert (tmp_path / "ours2.xtr").read_bytes() == (tmp_path / "gold2.xtr").read_bytes()
+
+
+def test_align_outputs_identical(xtoy, tmp_path):
+    run_xtree_oracle([
+        "ALIGN", "--db", str(xtoy / "gold.xtr"), "--seqs", str(xtoy / "reads.fa"),
+        "--perq-out", str(tmp_path / "g_perq.tsv"), "--ref-out", str(tmp_path / "g_ref.tsv"),
+        "--tax-out", str(tmp_path / "g_tax.tsv"), "--cov-out", str(tmp_path / "g_cov.tsv"),
+    ])
+    al = XtreeAligner(read_xtr(str(xtoy / "gold.xtr")))
+    al.align_file(str(xtoy / "reads.fa"), AlignOptions(
+        perq_out=str(tmp_path / "o_perq.tsv"), ref_out=str(tmp_path / "o_ref.tsv"),
+        tax_out=str(tmp_path / "o_tax.tsv"), cov_out=str(tmp_path / "o_cov.tsv"),
+    ))
+    for name in ["perq", "ref", "tax", "cov"]:
+        assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name
+
+
+def test_align_redistribute_identical(xtoy, tmp_path):
+    run_xtree_oracle([
+        "ALIGN", "--db", str(xtoy / "gold.xtr"), "--seqs", str(xtoy / "reads.fa"),
+        "--perq-out", str(tmp_path / "g_perq.tsv"), "--ref-out", str(tmp_path / "g_ref.tsv"),
+        "--tax-out", str(tmp_path / "g_tax.tsv"), "--redistribute",
+    ])
+    al = XtreeAligner(read_xtr(str(xtoy / "gold.xtr")))
+    al.align_file(str(xtoy / "reads.fa"), AlignOptions(
+        perq_out=str(tmp_path / "o_perq.tsv"), ref_out=str(tmp_path / "o_ref.tsv"),
+        tax_out=str(tmp_path / "o_tax.tsv"), do_redist=True,
+    ))
+    for name in ["perq", "ref", "tax"]:
+        assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name
+
+
+def test_orthog_writer_works(xtoy, tmp_path):
+    """The reference v0.92i orthog writer segfaults unconditionally (OOB read
+    at xtree.c:1508 on singleton hash buckets) — no golden comparison is
+    possible.  We implement the documented intent: (H1,H2) cross-tab counts."""
+    al = XtreeAligner(read_xtr(str(xtoy / "gold.xtr")))
+    al.align_file(str(xtoy / "reads.fa"), AlignOptions(
+        tax_out=str(tmp_path / "o_tax.tsv"), orthog_out=str(tmp_path / "o_orthog.tsv"),
+    ))
+    lines = [l for l in (tmp_path / "o_orthog.tsv").read_bytes().split(b"\n") if l]
+    assert lines, "orthog output should be non-empty"
+    for ln in lines:
+        cols = ln.split(b"\t")
+        assert len(cols) == 3 and int(cols[2]) >= 0
+
+
+def test_fastq_gz_queries(xtoy, tmp_path):
+    """gz FASTQ ingestion (get_queries, xtree.c:180-204)."""
+    import gzip
+
+    reads = (xtoy / "reads.fa").read_bytes().strip().split(b"\n")
+    with gzip.open(tmp_path / "reads.fq.gz", "wb") as f:
+        for i in range(0, len(reads), 2):
+            name, seq = reads[i][1:], reads[i + 1]
+            f.write(b"@" + name + b"\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+    al = XtreeAligner(read_xtr(str(xtoy / "gold.xtr")))
+    al.align_file(str(tmp_path / "reads.fq.gz"), AlignOptions(perq_out=str(tmp_path / "fq_perq.tsv")))
+    al.align_file(str(xtoy / "reads.fa"), AlignOptions(perq_out=str(tmp_path / "fa_perq.tsv")))
+    assert (tmp_path / "fq_perq.tsv").read_bytes() == (tmp_path / "fa_perq.tsv").read_bytes()

@@ -135,3 +135,47 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
         codes = append_rc(codes, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     return lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+
+
+def compact_histogram(ix_mat: jax.Array, num_labels: int, cap: int):
+    """Per-read sparse hit histograms, fixed width.
+
+    ix_mat (B, W) holds per-window label ids (misses >= num_labels).  Returns
+      labels (B, cap) int32   unique hit ids, ascending; unused slots = -1
+      counts (B, cap) int32   multiplicities
+      nuniq  (B,)     int32   TRUE unique count (> cap means overflow: the
+                              caller must reprocess that read another way)
+      found  (B,)     int32   total hits (foundUniq, itree.c:929-930)
+    The aufbau vote needs only this histogram (itree.c:1033-1041), so this is
+    the natural device/host cut point — it shrinks the device->host transfer
+    by ~W/cap while staying exact for reads with <= cap unique labels."""
+    b, w = ix_mat.shape
+    big = jnp.int32(0x7FFFFFFF)
+    hit = ix_mat < num_labels
+    found = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    key = jnp.where(hit, ix_mat, big)
+    skey = jnp.sort(key, axis=1)
+    is_hit = skey < big
+    prev = jnp.concatenate([jnp.full((b, 1), -1, skey.dtype), skey[:, :-1]], axis=1)
+    run_start = is_hit & (skey != prev)
+    uid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # unique slot per position
+    nuniq = jnp.max(uid, axis=1) + 1
+    slot = jnp.clip(uid, 0, cap - 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, w), 0)
+    flat = rows * cap + slot
+    counts = jnp.zeros((b * cap,), jnp.int32).at[flat.reshape(-1)].add(
+        is_hit.reshape(-1).astype(jnp.int32), mode="drop"
+    ).reshape(b, cap)
+    labels = jnp.full((b * cap,), -1, jnp.int32).at[
+        jnp.where(run_start & (uid < cap), flat, b * cap).reshape(-1)
+    ].max(jnp.where(run_start, skey, -1).reshape(-1), mode="drop").reshape(b, cap)
+    return labels, counts, nuniq, found
+
+
+def search_step_hist(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
+                     k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                     num_labels: int, cap: int = 16):
+    """search_step + on-device per-read histogram compaction."""
+    ix = search_step(table, reads_u8, lengths, k=k, do_rc=do_rc,
+                     probe_iters=probe_iters, bad_ix=bad_ix)
+    return compact_histogram(ix, num_labels, cap)

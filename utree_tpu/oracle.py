@@ -47,6 +47,26 @@ def build_oracle(extra_defs: tuple[str, ...] = (), suffix: str = "") -> dict[str
     return out
 
 
+def build_xtree_oracle() -> pathlib.Path:
+    """Compile the reference xtree.c (needs zlib)."""
+    ORACLE_BIN.mkdir(parents=True, exist_ok=True)
+    exe = ORACLE_BIN / "xtree"
+    if not exe.exists():
+        subprocess.run(
+            ["gcc", "-m64", "-std=gnu11", "-O2", "-fopenmp", "-fgnu89-inline",
+             "/root/reference/xtree.c", "-o", str(exe), "-lm", "-lz"],
+            check=True, capture_output=True,
+        )
+    return exe
+
+
+def run_xtree_oracle(args: list[str], threads: int = 1) -> None:
+    exe = build_xtree_oracle()
+    env = dict(os.environ, OMP_NUM_THREADS=str(threads))
+    subprocess.run([str(exe), *args, "--threads", str(threads)],
+                   check=True, capture_output=True, env=env)
+
+
 def run_oracle_pipeline(
     fasta: str, tax_map: str, reads: str, workdir: str, complevel: int = 1,
     do_rc: bool = False, gg: bool = True,

@@ -1,13 +1,19 @@
-"""End-to-end batched search pipeline (device lookup + host vote/format).
+"""End-to-end batched search pipeline (device lookup/histogram + host vote).
 
 Replaces the reference's thread-per-read search (XT_doSearch32 under
 `#pragma omp parallel`, itree.c:1009-1101) with:
 
-  host: pack reads into fixed-shape uint8 batches (length-bucketed to bound
-        recompiles) ->
-  device (jit): base-coding, RC append, window packing, flat-table lookup ->
-  host: vectorized per-read histograms (one np.unique over all hits) ->
-        aufbau vote + line formatting (classify.py).
+  host: pack reads into fixed-shape uint8 batches (length-bucketed) ->
+  device (one jitted program): base-coding, RC append, window packing,
+        flat-table lookup, per-read sparse histogram compaction ->
+  host: aufbau vote + line formatting (classify.py) from the tiny
+        (labels, counts) histograms; reads whose unique-label count exceeds
+        the device cap (rare) are recomputed exactly on host.
+
+Batches are dispatched asynchronously (JAX dispatch is non-blocking), so
+host<->device transfers overlap device compute and the host vote of the
+previous batch — the pipeline-parallel analog of the reference's
+reader-thread/worker-thread split (itree.c:867-875).
 
 Output lines are emitted in read order, equal to the single-threaded
 reference binary's output (multithreading only permutes its line order).
@@ -16,15 +22,15 @@ reference binary's output (multithreading only permutes its line order).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import numpy as np
 
 from utree_tpu.classify import aufbau_vote_counts
-from utree_tpu.config import UTreeConfig
 from utree_tpu.index import DeviceIndexArrays
 from utree_tpu.io.fasta import iter_fasta_records
-from utree_tpu.lookup import search_step
+from utree_tpu.lookup import search_step_hist
 
 
 def _bucket_len(n: int, minimum: int = 64) -> int:
@@ -39,29 +45,29 @@ def _bucket_len(n: int, minimum: int = 64) -> int:
 class SearchPipeline:
     index: DeviceIndexArrays
     do_rc: bool = False
-    batch_size: int = 2048
-    _table: dict = None  # device arrays
+    batch_size: int = 8192
+    hist_cap: int = 16
+    _table: dict = None
 
     def __post_init__(self):
         if self._table is None:
             self._table = self.index.device_put()
-
-    def lookup_batch(self, reads_u8: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-        """(B, L) ASCII + lengths -> (B, W) label ids (bad_ix = miss)."""
         cfg = self.index.config
-        out = search_step(
-            self._table,
-            jax.numpy.asarray(reads_u8),
-            jax.numpy.asarray(lengths.astype(np.int32)),
-            k=cfg.packsize,
-            do_rc=self.do_rc,
-            probe_iters=self.index.probe_iters,
-            bad_ix=cfg.bad_ix,
+        self._step = jax.jit(
+            functools.partial(
+                search_step_hist,
+                k=cfg.packsize,
+                do_rc=self.do_rc,
+                probe_iters=self.index.probe_iters,
+                bad_ix=cfg.bad_ix,
+                num_labels=self.index.num_labels,
+                cap=self.hist_cap,
+            )
         )
-        return np.asarray(jax.device_get(out))
 
-    def classify_batch(self, names: list[bytes], seqs: list[bytes]) -> list[bytes | None]:
-        """Vote lines for a batch of reads (None where the read had no hits)."""
+    # ---- device dispatch -----------------------------------------------
+
+    def _pack(self, seqs: list[bytes]):
         bsz = len(seqs)
         max_len = max((len(s) for s in seqs), default=1)
         lmax = _bucket_len(max(max_len, self.index.config.packsize))
@@ -70,44 +76,93 @@ class SearchPipeline:
         for i, s in enumerate(seqs):
             reads[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
             lengths[i] = len(s)
-        ix_mat = self.lookup_batch(reads, lengths)
+        return reads, lengths
 
-        num_labels = self.index.num_labels
-        hit_r, hit_c = np.nonzero(ix_mat < num_labels)
-        hit_v = ix_mat[hit_r, hit_c].astype(np.int64)
-        # one global unique over (read, label) keys = all per-read histograms
-        keys = hit_r.astype(np.int64) * num_labels + hit_v
-        uk, cnts = np.unique(keys, return_counts=True)
-        urow = (uk // num_labels).astype(np.int64)
-        uval = uk % num_labels
-        starts = np.searchsorted(urow, np.arange(bsz + 1))
+    def dispatch(self, seqs: list[bytes]):
+        """Asynchronously dispatch one batch; returns device handles."""
+        reads, lengths = self._pack(seqs)
+        return self._step(self._table, reads, lengths)
 
-        lines: list[bytes | None] = []
+    # ---- host-side exact fallback (overflowed histograms) ----------------
+
+    def _host_hits(self, seq: bytes) -> np.ndarray:
+        from utree_tpu.encode import search_window_words
+
+        cfg = self.index.config
+        words = search_window_words(seq, cfg.packsize, self.do_rc)
+        if len(words) == 0:
+            return np.zeros(0, np.int64)
+        idx = self.index
+        suffixes = (idx.suf_hi[:-1].astype(np.uint64) << np.uint64(32)) | idx.suf_lo[:-1].astype(
+            np.uint32
+        ).astype(np.uint64)
+        qpre = (words >> np.uint64(cfg.ctr_suffix_bits)).astype(np.int64)
+        qsuf = words & np.uint64(cfg.suffix_mask)
+        start = idx.bin_ix[qpre].astype(np.int64)
+        end = idx.bin_ix[qpre + 1].astype(np.int64)
+        empty = start >= end
+        p = np.where(empty, 0, start)
+        size = np.where(empty, 0, end - start - 1)
+        while (size > 0).any():
+            active = size > 0
+            w = size >> 1
+            probe = np.minimum(p + w + 1, len(suffixes) - 1)
+            le = active & (suffixes[probe] <= qsuf)
+            p = np.where(le, p + w + 1, p)
+            size = np.where(active, np.where(le, size - w - 1, w), size)
+        found = (~empty) & (suffixes[np.minimum(p, len(suffixes) - 1)] == qsuf)
+        hits = idx.ix[:-1][p[found]]
+        return hits[hits < self.index.num_labels]
+
+    # ---- vote + format -----------------------------------------------------
+
+    def finalize(self, names: list[bytes], seqs: list[bytes], handles) -> list[bytes | None]:
+        labels, counts, nuniq, found = (np.asarray(h) for h in handles)
         strings = self.index.strings
         taxacut = self.index.config.taxacut
+        out: list[bytes | None] = []
         for i, name in enumerate(names):
-            s, e = starts[i], starts[i + 1]
-            lines.append(aufbau_vote_counts(name, uval[s:e], cnts[s:e], strings, taxacut))
-        return lines
+            nu = int(nuniq[i])
+            if nu == 0:
+                out.append(None)
+            elif nu <= self.hist_cap:
+                out.append(
+                    aufbau_vote_counts(name, labels[i, :nu], counts[i, :nu], strings, taxacut)
+                )
+            else:  # device cap overflow: recompute this read exactly on host
+                hits = self._host_hits(seqs[i])
+                cnt = np.bincount(hits)
+                nz = np.flatnonzero(cnt)
+                out.append(aufbau_vote_counts(name, nz, cnt[nz], strings, taxacut))
+        return out
 
-    def search_file(self, reads_path: str, out_path: str) -> int:
+    def classify_batch(self, names: list[bytes], seqs: list[bytes]) -> list[bytes | None]:
+        return self.finalize(names, seqs, self.dispatch(seqs))
+
+    # ---- streaming driver ----------------------------------------------------
+
+    def search_file(self, reads_path: str, out_path: str, queue_depth: int = 2) -> int:
         n = 0
+        pending: list[tuple[list[bytes], list[bytes], object]] = []
         names: list[bytes] = []
         seqs: list[bytes] = []
         with open(out_path, "wb") as fo:
-            def flush():
-                for line in self.classify_batch(names, seqs):
-                    if line is not None:
-                        fo.write(line + b"\n")
-                names.clear()
-                seqs.clear()
+            def drain(block: bool):
+                while pending and (block or len(pending) >= queue_depth):
+                    bn, bs, h = pending.pop(0)
+                    for line in self.finalize(bn, bs, h):
+                        if line is not None:
+                            fo.write(line + b"\n")
 
             for header, seq in iter_fasta_records(reads_path):
                 n += 1
                 names.append(header.split(b" ")[0])
                 seqs.append(seq)
                 if len(seqs) >= self.batch_size:
-                    flush()
+                    pending.append((names, seqs, self.dispatch(seqs)))
+                    names, seqs = [], []
+                    drain(block=False)
             if seqs:
-                flush()
+                pending.append((names, seqs, self.dispatch(seqs)))
+            drain(block=True)
         return n
