@@ -84,8 +84,8 @@ def main():
             done = hi
         else:
             bn, bs, h = pending.pop(0)
-            out = pipe.finalize(bn, bs, h)
-            lines += sum(1 for l in out if l is not None)
+            out = pipe.finalize_bytes(bn, bs, h)
+            lines += out.count(b"\n")
     dt = time.perf_counter() - t0
 
     rps = num_reads / dt

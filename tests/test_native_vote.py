@@ -1,0 +1,72 @@
+"""C++ vote engine vs the Python reference implementation (property test)."""
+
+import numpy as np
+import pytest
+
+from utree_tpu.classify import aufbau_vote_counts
+from utree_tpu.native import VoteEngine
+
+
+def _random_taxonomies(rng, n):
+    """Taxonomies with quirky shapes: blank '_' ranks, shared prefixes,
+    truncated (fold-produced) strings."""
+    ranks = b"kpcofgst"
+    base = []
+    for _ in range(n):
+        depth = int(rng.integers(1, 9))
+        parts = []
+        for d in range(depth):
+            if rng.random() < 0.15:
+                parts.append(ranks[d : d + 1] + b"__")  # blank rank, ends '_'
+            else:
+                tok = rng.integers(97, 123, size=int(rng.integers(1, 5)), dtype=np.uint8).tobytes()
+                parts.append(ranks[d : d + 1] + b"__" + tok)
+        base.append(b";".join(parts))
+    # add shared-prefix variants and truncations
+    out = list(dict.fromkeys(base))
+    for s in base[: n // 3]:
+        cut = s.rfind(b";")
+        if cut > 0 and s[:cut] not in out:
+            out.append(s[:cut])
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine_strings():
+    rng = np.random.default_rng(123)
+    strings = _random_taxonomies(rng, 60)
+    eng = VoteEngine(strings, taxacut=4)
+    if not eng.available:
+        pytest.skip("native vote lib unavailable")
+    return eng, strings
+
+
+def test_native_matches_python_random(engine_strings):
+    eng, strings = engine_strings
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        nu = int(rng.integers(1, min(12, len(strings))))
+        ids = rng.choice(len(strings), size=nu, replace=False).astype(np.int32)
+        cnts = rng.integers(1, 30, size=nu).astype(np.int32)
+        name = b"q%d" % trial
+        py = aufbau_vote_counts(name, ids, cnts, strings, 4)
+        offs = np.array([0, nu], np.int64)
+        cc = eng.vote_batch([name], offs, ids, cnts)
+        expected = (py + b"\n") if py is not None else b""
+        assert cc == expected, f"trial {trial}: {cc!r} != {expected!r}"
+
+
+def test_native_batch_order_and_skips(engine_strings):
+    eng, strings = engine_strings
+    names = [b"a", b"b", b"c"]
+    # read b has an empty histogram -> no line
+    offs = np.array([0, 2, 2, 3], np.int64)
+    ids = np.array([0, 1, 2], np.int32)
+    cnts = np.array([3, 2, 1], np.int32)
+    out = eng.vote_batch(names, offs, ids, cnts)
+    lines = [l for l in out.split(b"\n") if l]
+    assert len(lines) == 2
+    assert lines[0].startswith(b"a\t")
+    assert lines[1].startswith(b"c\t")
+    py0 = aufbau_vote_counts(b"a", ids[:2], cnts[:2], strings, 4)
+    assert lines[0] == py0

@@ -1,0 +1,113 @@
+"""ctypes bridge to the native (C++) host runtime.
+
+Compiled on demand from native/*.cpp into .native_build/ (no pip deps; plain
+g++).  Falls back gracefully: callers check `vote_lib() is not None` and use
+the pure-Python path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BUILD_DIR = REPO / ".native_build"
+_vote_lib = None
+_vote_tried = False
+
+
+def _compile(src: str, out: str) -> pathlib.Path | None:
+    BUILD_DIR.mkdir(exist_ok=True)
+    so = BUILD_DIR / out
+    cpp = REPO / "native" / src
+    if so.exists() and so.stat().st_mtime >= cpp.stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(cpp), "-o", str(so)],
+            check=True, capture_output=True,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def vote_lib():
+    """The libutreevote handle, or None if unavailable."""
+    global _vote_lib, _vote_tried
+    if _vote_tried:
+        return _vote_lib
+    _vote_tried = True
+    so = _compile("vote.cpp", "libutreevote.so")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.utree_vote_batch.restype = ctypes.c_int64
+    lib.utree_vote_batch.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    _vote_lib = lib
+    return lib
+
+
+class VoteEngine:
+    """Batch aufbau vote + formatting in C++ (exact peer of classify.py)."""
+
+    def __init__(self, strings: list[bytes], taxacut: int):
+        self.taxacut = taxacut
+        self.lib = vote_lib()
+        if self.lib is not None:
+            offs = np.zeros(len(strings) + 1, np.int64)
+            for i, s in enumerate(strings):
+                offs[i + 1] = offs[i] + len(s) + 1
+            self.string_pool = b"\x00".join(strings) + b"\x00"
+            self.string_offsets = offs
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def vote_batch(
+        self,
+        names: list[bytes],
+        hist_offsets: np.ndarray,
+        labels: np.ndarray,
+        counts: np.ndarray,
+    ) -> bytes:
+        """CSR histograms -> concatenated output lines (reads with empty
+        histograms omitted), in read order."""
+        n = len(names)
+        name_offsets = np.zeros(n + 1, np.int64)
+        for i, nm in enumerate(names):
+            name_offsets[i + 1] = name_offsets[i] + len(nm) + 1
+        name_pool = b"\x00".join(names) + b"\x00" if names else b"\x00"
+        cap = 1 << 20
+        while True:
+            out = ctypes.create_string_buffer(cap)
+            wrote = self.lib.utree_vote_batch(
+                n,
+                np.ascontiguousarray(hist_offsets, np.int64),
+                np.ascontiguousarray(labels, np.int32),
+                np.ascontiguousarray(counts, np.int32),
+                self.string_pool,
+                self.string_offsets,
+                name_pool,
+                name_offsets,
+                self.taxacut,
+                out,
+                cap,
+            )
+            if wrote == -1:
+                cap *= 4
+                continue
+            if wrote < 0:
+                raise RuntimeError(f"utree_vote_batch error {wrote}")
+            return out.raw[:wrote]

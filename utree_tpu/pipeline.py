@@ -49,10 +49,19 @@ class SearchPipeline:
     hist_cap: int = 16
     _table: dict = None
 
+    use_native_vote: bool = True
+
     def __post_init__(self):
         if self._table is None:
             self._table = self.index.device_put()
         cfg = self.index.config
+        self._vote_engine = None
+        if self.use_native_vote:
+            from utree_tpu.native import VoteEngine
+
+            eng = VoteEngine(self.index.strings, cfg.taxacut)
+            if eng.available:
+                self._vote_engine = eng
         self._step = jax.jit(
             functools.partial(
                 search_step_hist,
@@ -139,6 +148,41 @@ class SearchPipeline:
     def classify_batch(self, names: list[bytes], seqs: list[bytes]) -> list[bytes | None]:
         return self.finalize(names, seqs, self.dispatch(seqs))
 
+    def finalize_bytes(self, names: list[bytes], seqs: list[bytes], handles) -> bytes:
+        """Concatenated output lines (with trailing newlines), read order.
+        Uses the C++ vote engine when available; overflowed histograms are
+        recomputed exactly on host and spliced into the CSR first."""
+        if self._vote_engine is None:
+            return b"".join(
+                ln + b"\n" for ln in self.finalize(names, seqs, handles) if ln is not None
+            )
+        labels, counts, nuniq, found = (np.asarray(h) for h in handles)
+        b = len(names)
+        nu = np.minimum(nuniq, self.hist_cap)
+        overflow = np.flatnonzero(nuniq > self.hist_cap)
+        extra_l: dict[int, np.ndarray] = {}
+        extra_c: dict[int, np.ndarray] = {}
+        for i in overflow:
+            hits = self._host_hits(seqs[i])
+            cnt = np.bincount(hits)
+            nz = np.flatnonzero(cnt)
+            extra_l[int(i)] = nz
+            extra_c[int(i)] = cnt[nz]
+            nu[i] = len(nz)
+        offsets = np.zeros(b + 1, np.int64)
+        np.cumsum(nu, out=offsets[1:])
+        flat_l = np.empty(int(offsets[-1]), np.int32)
+        flat_c = np.empty(int(offsets[-1]), np.int32)
+        for i in range(b):
+            lo, hi = offsets[i], offsets[i + 1]
+            if i in extra_l:
+                flat_l[lo:hi] = extra_l[i]
+                flat_c[lo:hi] = extra_c[i]
+            else:
+                flat_l[lo:hi] = labels[i, : nu[i]]
+                flat_c[lo:hi] = counts[i, : nu[i]]
+        return self._vote_engine.vote_batch(names, offsets, flat_l, flat_c)
+
     # ---- streaming driver ----------------------------------------------------
 
     def search_file(self, reads_path: str, out_path: str, queue_depth: int = 2) -> int:
@@ -150,9 +194,7 @@ class SearchPipeline:
             def drain(block: bool):
                 while pending and (block or len(pending) >= queue_depth):
                     bn, bs, h = pending.pop(0)
-                    for line in self.finalize(bn, bs, h):
-                        if line is not None:
-                            fo.write(line + b"\n")
+                    fo.write(self.finalize_bytes(bn, bs, h))
 
             for header, seq in iter_fasta_records(reads_path):
                 n += 1
