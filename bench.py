@@ -20,6 +20,11 @@ import numpy as np
 
 
 def main():
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     num_kmers = int(os.environ.get("BENCH_KMERS", 20_000_000))
     num_reads = int(os.environ.get("BENCH_READS", 200_000))
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
@@ -54,6 +59,7 @@ def main():
         tok = bytes(97 + stem)
         labels.append(b";".join(ranks[d : d + 1] + b"__" + tok + str(i % 97).encode() for d in range(8)))
     index = DeviceIndexArrays.from_build(sw, ixs, labels, cfg)
+    log(f"bench: index ready ({len(sw)} kmers, probe_iters={index.probe_iters})")
 
     # reads sampled from the genome (with light mutation) + 10% random
     starts = rng.integers(0, genome_len - read_len, size=num_reads)
@@ -70,6 +76,7 @@ def main():
     # warmup (compile)
     seqs0 = [reads[i].tobytes() for i in range(batch)]
     pipe.classify_batch(names[:batch], seqs0)
+    log("bench: warmup/compile done")
 
     # steady state: async dispatch queue overlapping transfers/compute/vote
     t0 = time.perf_counter()

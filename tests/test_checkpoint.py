@@ -1,0 +1,46 @@
+"""Search checkpoint/resume: interrupted run + resume == uninterrupted run."""
+
+import numpy as np
+
+from utree_tpu.index import DeviceIndexArrays
+from utree_tpu.pipeline import SearchPipeline
+
+
+def test_resume_produces_identical_output(toy, tmp_path):
+    idx = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]))
+    pipe = SearchPipeline(idx, do_rc=False, batch_size=128)
+
+    full = tmp_path / "full.txt"
+    pipe.search_file(toy["reads"], str(full))
+    assert not (tmp_path / "full.txt.ckpt").exists()
+
+    # simulate an interruption: run a copy that stops after 3 batches
+    part = tmp_path / "part.txt"
+
+    class Stop(Exception):
+        pass
+
+    count = {"n": 0}
+    orig = pipe.finalize_bytes
+
+    def bomb(names, seqs, handles):
+        if count["n"] >= 3:
+            raise Stop()
+        count["n"] += 1
+        return orig(names, seqs, handles)
+
+    pipe.finalize_bytes = bomb
+    try:
+        pipe.search_file(toy["reads"], str(part))
+        raise AssertionError("should have been interrupted")
+    except Stop:
+        pass
+    pipe.finalize_bytes = orig
+    assert (tmp_path / "part.txt.ckpt").exists()
+    partial_size = part.stat().st_size
+    assert 0 < partial_size < full.stat().st_size
+
+    n = pipe.search_file(toy["reads"], str(part), resume=True)
+    assert n == 1000
+    assert part.read_bytes() == full.read_bytes()
+    assert not (tmp_path / "part.txt.ckpt").exists()

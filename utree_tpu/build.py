@@ -32,6 +32,14 @@ from utree_tpu.io.maps import read_tax_map
 from utree_tpu.taxonomy import BAD, LabelTable, fold_labels
 
 
+def _word_key(w):
+    """Hashable key for a word scalar (int for u64, bytes for W128 records)."""
+    try:
+        return int(w)
+    except (TypeError, ValueError):
+        return w.tobytes()
+
+
 @dataclasses.dataclass
 class BuildResult:
     """Surviving k-mer nodes, sorted ascending by word, plus the label table."""
@@ -73,7 +81,7 @@ def build_database(
         raise ValueError("no sequences in input FASTA")
     num_seqs = len(rec_words)
 
-    words = np.concatenate(rec_words) if rec_words else np.zeros(0, np.uint64)
+    words = np.concatenate(rec_words)
     if len(words) == 0:
         raise ValueError("no k-mers sampled — bad input/params")
     pix = np.concatenate(
@@ -81,7 +89,9 @@ def build_database(
     )
 
     # ---- identify conflicted words (>=2 distinct labels) --------------------
-    order = np.argsort(words, kind="stable")
+    from utree_tpu.encode import word_sort_key
+
+    order = word_sort_key(words)
     sw = words[order]
     sp = pix[order]
     new_group = np.empty(len(sw), dtype=bool)
@@ -106,7 +116,7 @@ def build_database(
             conflicted_words[np.minimum(pos, len(conflicted_words) - 1)] == rwords
         )
         for w in rwords[hit]:
-            wi = int(w)
+            wi = _word_key(w)
             state = node_state.get(wi)
             if state is None:
                 node_state[wi] = label
@@ -131,7 +141,7 @@ def build_database(
     elif len(conflicted_words):
         cpos = np.flatnonzero(conflicted_mask)
         for local_i, gi in enumerate(cpos):
-            state = node_state[int(uniq_words[gi])]
+            state = node_state[_word_key(uniq_words[gi])]
             if state is BAD:
                 keep[gi] = False
             else:

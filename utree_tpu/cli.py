@@ -61,7 +61,7 @@ def _cmd_search(a):
 
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
         pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch)
-        n = pipe.search_file(a.reads, a.out)
+        n = pipe.search_file(a.reads, a.out, resume=a.resume)
     print(f"Searched {n} queries -> {a.out}")
 
 
@@ -117,6 +117,8 @@ def main(argv=None):
     s.add_argument("--rank-specific", action="store_true", help="utree-search (non-GG) vote")
     s.add_argument("--host", action="store_true", help="host (NumPy) path instead of device")
     s.add_argument("--batch", type=int, default=8192)
+    s.add_argument("--resume", action="store_true",
+                   help="resume an interrupted search from its .ckpt sidecar")
     s.set_defaults(fn=_cmd_search)
 
     xb = sub.add_parser("xtree-build", help="xtree BUILD equivalent")

@@ -55,8 +55,22 @@ def revcomp_text(seq: bytes) -> bytes:
     return _RC_TABLE[arr][::-1].tobytes()
 
 
+# 128-bit words (PACKSIZE=64, WTYPE=__uint128_t, itree.c:55-57) are stored as
+# a structured (hi, lo) pair — numpy sorts/compares it lexicographically,
+# which equals unsigned 128-bit order.
+W128 = np.dtype([("hi", "<u8"), ("lo", "<u8")])
+
+
 def _pack_words_u64(codes: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray:
-    """Pack k bases starting at each index into uint64 words, MSB-first."""
+    """Pack k<=32 bases starting at each index into uint64 words, MSB-first;
+    k=64 packs into W128 (hi = first 32 bases, lo = last 32)."""
+    if k > 32:
+        if k != 64:
+            raise NotImplementedError("only k<=32 and k=64 word packing")
+        out = np.zeros(len(starts), dtype=W128)
+        out["hi"] = _pack_words_u64(codes, starts, 32)
+        out["lo"] = _pack_words_u64(codes, starts + 32, 32)
+        return out
     w = np.zeros(len(starts), dtype=np.uint64)
     c64 = codes.astype(np.uint64)
     for t in range(k):
@@ -64,18 +78,27 @@ def _pack_words_u64(codes: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray
     return w
 
 
+def word_sort_key(words: np.ndarray):
+    """Stable argsort key handling both u64 and W128 words."""
+    return np.argsort(words, kind="stable", order=("hi", "lo") if words.dtype == W128 else None)
+
+
+def _empty_words(k: int) -> np.ndarray:
+    return np.zeros(0, dtype=W128 if k > 32 else np.uint64)
+
+
 def sample_build_kmers(seq: bytes, k: int, complevel: int) -> np.ndarray:
     """All sampled k-mer words of one reference sequence, in position order.
 
     Implements the build driver's sampling (itree.c:584-624): window end i
     runs from kv=k-1+lv; the lv bases at i-kv.. must be the prefix of "AGCT";
-    any invalid base in the window skips it.  Returns uint64 words.
+    any invalid base in the window skips it.  Returns uint64 (or W128) words.
     """
     codes = encode_bases(seq)
     n = len(codes)
     lv = complevel
     if n < k + lv:
-        return np.zeros(0, dtype=np.uint64)
+        return _empty_words(k)
     valid = codes != INVALID
     # window with start s covers [s, s+k); gate positions are [s-lv, s).
     # Windows must satisfy: s >= lv; all k bases valid; gate bases match.
@@ -100,7 +123,7 @@ def search_window_words_positions(seq: bytes, k: int, do_rc: bool):
     codes = encode_bases(seq)
     n = len(codes)
     if n < k:
-        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+        return _empty_words(k), np.zeros(0, dtype=np.int64)
     valid = codes != INVALID
     inv_cum = np.concatenate(([0], np.cumsum(~valid).astype(np.int64)))
     starts = np.arange(0, n - k + 1)
@@ -123,7 +146,7 @@ def search_window_words(seq: bytes, k: int, do_rc: bool) -> np.ndarray:
     codes = encode_bases(seq)
     n = len(codes)
     if n < k:
-        return np.zeros(0, dtype=np.uint64)
+        return _empty_words(k)
     valid = codes != INVALID
     inv_cum = np.concatenate(([0], np.cumsum(~valid).astype(np.int64)))
     starts = np.arange(0, n - k + 1)

@@ -64,30 +64,66 @@ def _parse_label_tail(tail: bytes) -> tuple[list[bytes], np.ndarray]:
     return labels, np.array(counts, dtype=np.uint64)
 
 
-def write_ubt(path: str, words: np.ndarray, ixs: np.ndarray, labels: list[bytes], config: UTreeConfig) -> None:
+def _words_le_bytes(words: np.ndarray, wtype_bytes: int) -> np.ndarray:
+    """(n, wtype_bytes) little-endian byte view of u64 or W128 words."""
+    from utree_tpu.encode import W128
+
     n = len(words)
+    out = np.zeros((n, wtype_bytes), np.uint8)
+    if words.dtype == W128:
+        out[:, :8] = words["lo"].astype("<u8").view(np.uint8).reshape(n, 8)
+        out[:, 8:16] = words["hi"].astype("<u8").view(np.uint8).reshape(n, 8)
+    else:
+        out[:, :8] = np.asarray(words, dtype="<u8").view(np.uint8).reshape(n, 8)
+    return out
+
+
+def _word_prefixes(words: np.ndarray, word_bits: int, prefix_bits: int) -> np.ndarray:
+    """Top prefix_bits of each word, for u64 or W128 words."""
+    from utree_tpu.encode import W128
+
+    if words.dtype == W128:
+        return (words["hi"] >> np.uint64(word_bits - prefix_bits - 64)).astype(np.int64)
+    return (np.asarray(words, dtype=np.uint64) >> np.uint64(word_bits - prefix_bits)).astype(np.int64)
+
+
+def write_ubt(path: str, words: np.ndarray, ixs: np.ndarray, labels: list[bytes], config: UTreeConfig) -> None:
+    from utree_tpu.encode import W128
+
+    n = len(words)
+    wb, ib = config.wtype_bytes, config.ixtype_bytes
     counts = np.bincount(np.asarray(ixs, dtype=np.int64), minlength=len(labels)).astype(np.uint64)
     with open(path, "wb") as of:
-        of.write(struct.pack("<4Q", config.wtype_bytes, 0, config.ixtype_bytes, n))
-        rec = np.zeros(n, dtype=[("w", "<u8"), ("ix", "<u2" if config.ixtype_bytes == 2 else "<u4")])
-        rec["w"] = np.asarray(words, dtype=np.uint64)
-        rec["ix"] = np.asarray(ixs, dtype=np.uint64)
+        of.write(struct.pack("<4Q", wb, 0, ib, n))
+        rec = np.zeros((n, wb + ib), np.uint8)
+        rec[:, :wb] = _words_le_bytes(words, wb)
+        rec[:, wb:] = (
+            np.asarray(ixs, dtype=f"<u{ib}").view(np.uint8).reshape(n, ib)
+        )
         of.write(rec.tobytes())
         for lbl, cnt in zip(labels, counts):
             of.write(lbl + b"\t" + str(int(cnt)).encode() + b"\n")
 
 
 def read_ubt(path: str) -> UbtData:
+    from utree_tpu.encode import W128
+
     with open(path, "rb") as fp:
         data = fp.read()
     wsz, csz, isz, n = struct.unpack_from("<4Q", data, 0)
     if csz != 0:
         raise ValueError("count-carrying trees are not supported (NO_COUNT builds only)")
     rec_sz = wsz + isz
-    body = data[32 : 32 + n * rec_sz]
-    rec = np.frombuffer(body, dtype=[("w", f"<u{wsz}" if wsz <= 8 else "<u8"), ("ix", f"<u{isz}")])
+    raw = np.frombuffer(data, np.uint8, count=n * rec_sz, offset=32).reshape(n, rec_sz)
+    if wsz == 16:
+        words = np.zeros(n, dtype=W128)
+        words["lo"] = raw[:, :8].copy().view("<u8").reshape(n)
+        words["hi"] = raw[:, 8:16].copy().view("<u8").reshape(n)
+    else:
+        words = raw[:, :wsz].copy().view(f"<u{wsz}").reshape(n).astype(np.uint64)
+    ixs = raw[:, wsz:].copy().view(f"<u{isz}").reshape(n).astype(np.int64)
     labels, counts = _parse_label_tail(data[32 + n * rec_sz :])
-    return UbtData(wsz, isz, rec["w"].astype(np.uint64), rec["ix"].astype(np.int64), labels, counts)
+    return UbtData(wsz, isz, words, ixs, labels, counts)
 
 
 def compute_bin_ix(words: np.ndarray, word_bits: int, prefix_bits: int = 24) -> np.ndarray:
@@ -104,7 +140,7 @@ def compute_bin_ix(words: np.ndarray, word_bits: int, prefix_bits: int = 24) -> 
     num_nodes = len(words)
     num_bins = (1 << prefix_bits) + 1
     bin_ix = np.zeros(num_bins, dtype=np.int64)
-    prefixes = (np.asarray(words, dtype=np.uint64) >> np.uint64(word_bits - prefix_bits)).astype(np.int64)
+    prefixes = _word_prefixes(words, word_bits, prefix_bits)
     if num_nodes:
         first_new = np.empty(num_nodes, dtype=bool)
         first_new[0] = True
@@ -149,10 +185,10 @@ def write_ctr(
         of.write(struct.pack("<4Q", config.wtype_bytes, 0, config.ixtype_bytes, n))
         of.write(bin_ix.astype(off_dtype).tobytes())
         # records: low `suffix_bytes` bytes of each little-endian word + ix
-        w_le = np.asarray(words, dtype="<u8").view(np.uint8).reshape(n, 8)
+        w_le = _words_le_bytes(words, config.wtype_bytes)
         rec = np.zeros((n, config.ctr_record_bytes), dtype=np.uint8)
         rec[:, :suffix_bytes] = w_le[:, :suffix_bytes]
-        ix_le = np.asarray(ixs, dtype="<u2" if config.ixtype_bytes == 2 else "<u4").view(np.uint8).reshape(n, config.ixtype_bytes)
+        ix_le = np.asarray(ixs, dtype=f"<u{config.ixtype_bytes}").view(np.uint8).reshape(n, config.ixtype_bytes)
         rec[:, suffix_bytes:] = ix_le
         of.write(rec.tobytes())
         for lbl, cnt in zip(labels, counts):
@@ -178,9 +214,19 @@ def read_ctr(path: str, config: UTreeConfig = UTreeConfig()) -> CtrData:
     raw = np.frombuffer(data, dtype=np.uint8, count=n * rec_sz, offset=off).reshape(n, rec_sz)
     off += n * rec_sz
     sfx_b = config.ctr_suffix_bytes
-    padded = np.zeros((n, 8), dtype=np.uint8)
-    padded[:, :sfx_b] = raw[:, :sfx_b]
-    suffixes = padded.view("<u8").reshape(n)
+    if sfx_b <= 8:
+        padded = np.zeros((n, 8), dtype=np.uint8)
+        padded[:, :sfx_b] = raw[:, :sfx_b]
+        suffixes = padded.view("<u8").reshape(n)
+    else:
+        # 104-bit suffixes (PACKSIZE=64): (hi = bits 103..64, lo = bits 63..0)
+        from utree_tpu.encode import W128
+
+        suffixes = np.zeros(n, dtype=W128)
+        suffixes["lo"] = raw[:, :8].copy().view("<u8").reshape(n)
+        hi_pad = np.zeros((n, 8), dtype=np.uint8)
+        hi_pad[:, : sfx_b - 8] = raw[:, 8:sfx_b]
+        suffixes["hi"] = hi_pad.view("<u8").reshape(n)
     ix_pad = np.zeros((n, 8), dtype=np.uint8)
     ix_pad[:, : config.ixtype_bytes] = raw[:, sfx_b:]
     ixs = ix_pad.view("<u8").reshape(n).astype(np.int64)

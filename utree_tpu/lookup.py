@@ -83,7 +83,10 @@ def extract_windows(codes: jax.Array, k: int = 32):
 
 
 def _suffix_le(hi_a, lo_a, hi_b, lo_b):
-    """(hi_a, lo_a) <= (hi_b, lo_b) on 40-bit suffix lanes."""
+    """(hi_a, lo_a) <= (hi_b, lo_b) on 40-bit suffix lanes; the low lane is a
+    32-bit payload and must always compare unsigned."""
+    lo_a = lo_a.astype(jnp.uint32)
+    lo_b = lo_b.astype(jnp.uint32)
     return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a <= lo_b))
 
 
@@ -154,28 +157,39 @@ def compact_histogram(ix_mat: jax.Array, num_labels: int, cap: int):
     hit = ix_mat < num_labels
     found = jnp.sum(hit, axis=1, dtype=jnp.int32)
     key = jnp.where(hit, ix_mat, big)
-    skey = jnp.sort(key, axis=1)
-    is_hit = skey < big
-    prev = jnp.concatenate([jnp.full((b, 1), -1, skey.dtype), skey[:, :-1]], axis=1)
-    run_start = is_hit & (skey != prev)
-    uid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # unique slot per position
-    nuniq = jnp.max(uid, axis=1) + 1
-    slot = jnp.clip(uid, 0, cap - 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, w), 0)
-    flat = rows * cap + slot
-    counts = jnp.zeros((b * cap,), jnp.int32).at[flat.reshape(-1)].add(
-        is_hit.reshape(-1).astype(jnp.int32), mode="drop"
-    ).reshape(b, cap)
-    labels = jnp.full((b * cap,), -1, jnp.int32).at[
-        jnp.where(run_start & (uid < cap), flat, b * cap).reshape(-1)
-    ].max(jnp.where(run_start, skey, -1).reshape(-1), mode="drop").reshape(b, cap)
+    # iterative unique extraction: `cap` rounds of (min, count) reductions.
+    # TPU sorts and scatters both serialize badly; cap fused VPU reduction
+    # passes over (B, W) are orders of magnitude faster for small cap.
+    labels_list = []
+    counts_list = []
+    cur = jnp.full((b, 1), -1, jnp.int32)
+    for _ in range(cap):
+        cand = jnp.where(key > cur, key, big)
+        m = jnp.min(cand, axis=1, keepdims=True)
+        cnt = jnp.sum(key == m, axis=1, dtype=jnp.int32)
+        labels_list.append(jnp.where(m[:, 0] < big, m[:, 0], -1))
+        counts_list.append(jnp.where(m[:, 0] < big, cnt, 0))
+        cur = m
+    labels = jnp.stack(labels_list, axis=1)
+    counts = jnp.stack(counts_list, axis=1)
+    used = jnp.sum(labels >= 0, axis=1, dtype=jnp.int32)
+    # overflow: any hit label beyond the last extracted slot
+    overflow = jnp.any(jnp.where(key > cur, key, big) < big, axis=1)
+    nuniq = jnp.where(overflow, cap + 1, used)
     return labels, counts, nuniq, found
 
 
 def search_step_hist(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
                      k: int, do_rc: bool, probe_iters: int, bad_ix: int,
                      num_labels: int, cap: int = 16):
-    """search_step + on-device per-read histogram compaction."""
+    """search_step + on-device per-read histogram compaction.
+
+    Returns ONE (B, 2*cap+2) int32 array — [labels | counts | nuniq | found]
+    per row — so the host pulls a single buffer (the tunnel's per-transfer
+    fixed cost dwarfs the bytes)."""
     ix = search_step(table, reads_u8, lengths, k=k, do_rc=do_rc,
                      probe_iters=probe_iters, bad_ix=bad_ix)
-    return compact_histogram(ix, num_labels, cap)
+    labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
+    return jnp.concatenate(
+        [labels, counts, nuniq[:, None], found[:, None]], axis=1
+    )

@@ -70,9 +70,10 @@ def run_xtree_oracle(args: list[str], threads: int = 1) -> None:
 def run_oracle_pipeline(
     fasta: str, tax_map: str, reads: str, workdir: str, complevel: int = 1,
     do_rc: bool = False, gg: bool = True,
+    extra_defs: tuple[str, ...] = (), suffix: str = "",
 ) -> dict[str, pathlib.Path]:
     """build -> compress -> search with the reference binaries (1 thread)."""
-    bins = build_oracle()
+    bins = build_oracle(extra_defs=extra_defs, suffix=suffix)
     wd = pathlib.Path(workdir)
     wd.mkdir(parents=True, exist_ok=True)
     ubt = wd / "db.ubt"

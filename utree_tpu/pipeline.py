@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import pathlib
 
 import jax
 import numpy as np
@@ -125,8 +126,13 @@ class SearchPipeline:
 
     # ---- vote + format -----------------------------------------------------
 
+    def _unpack(self, handles):
+        packed = np.asarray(handles)
+        cap = self.hist_cap
+        return packed[:, :cap], packed[:, cap : 2 * cap], packed[:, 2 * cap], packed[:, 2 * cap + 1]
+
     def finalize(self, names: list[bytes], seqs: list[bytes], handles) -> list[bytes | None]:
-        labels, counts, nuniq, found = (np.asarray(h) for h in handles)
+        labels, counts, nuniq, found = self._unpack(handles)
         strings = self.index.strings
         taxacut = self.index.config.taxacut
         out: list[bytes | None] = []
@@ -156,7 +162,7 @@ class SearchPipeline:
             return b"".join(
                 ln + b"\n" for ln in self.finalize(names, seqs, handles) if ln is not None
             )
-        labels, counts, nuniq, found = (np.asarray(h) for h in handles)
+        labels, counts, nuniq, found = self._unpack(handles)
         b = len(names)
         nu = np.minimum(nuniq, self.hist_cap)
         overflow = np.flatnonzero(nuniq > self.hist_cap)
@@ -185,19 +191,38 @@ class SearchPipeline:
 
     # ---- streaming driver ----------------------------------------------------
 
-    def search_file(self, reads_path: str, out_path: str, queue_depth: int = 2) -> int:
+    def search_file(self, reads_path: str, out_path: str, queue_depth: int = 2,
+                    resume: bool = False) -> int:
+        """Stream reads -> classifications.  With resume=True, continues an
+        interrupted run from the last committed batch boundary (sidecar
+        <out>.ckpt); the final output bytes equal an uninterrupted run."""
+        from utree_tpu.utils.checkpoint import SearchCheckpoint
+
+        ckpt = SearchCheckpoint(out_path)
+        skip, out_bytes = ckpt.load() if resume else (0, 0)
         n = 0
         pending: list[tuple[list[bytes], list[bytes], object]] = []
         names: list[bytes] = []
         seqs: list[bytes] = []
-        with open(out_path, "wb") as fo:
+        mode = "r+b" if resume and pathlib.Path(out_path).exists() else "wb"
+        with open(out_path, mode) as fo:
+            fo.truncate(out_bytes)
+            fo.seek(out_bytes)
+            done = skip
+
             def drain(block: bool):
+                nonlocal done
                 while pending and (block or len(pending) >= queue_depth):
                     bn, bs, h = pending.pop(0)
                     fo.write(self.finalize_bytes(bn, bs, h))
+                    fo.flush()
+                    done += len(bn)
+                    ckpt.commit(done, fo.tell())
 
             for header, seq in iter_fasta_records(reads_path):
                 n += 1
+                if n <= skip:
+                    continue
                 names.append(header.split(b" ")[0])
                 seqs.append(seq)
                 if len(seqs) >= self.batch_size:
@@ -207,4 +232,5 @@ class SearchPipeline:
             if seqs:
                 pending.append((names, seqs, self.dispatch(seqs)))
             drain(block=True)
+        ckpt.finish()
         return n

@@ -24,10 +24,17 @@ from utree_tpu.taxonomy import count_semicolons
 
 @dataclasses.dataclass
 class HostIndex:
-    """CTR index in flat NumPy arrays."""
+    """CTR index in flat NumPy arrays.
+
+    Suffixes are stored two-lane (s_hi, s_lo u64): for PACKSIZE=32 the 40-bit
+    suffix sits in s_lo (s_hi = 0); for PACKSIZE=64 the 104-bit suffix splits
+    as s_hi = bits 103..64, s_lo = bits 63..0.  Lexicographic (s_hi, s_lo)
+    order equals unsigned wide-integer order, so one probe loop serves both.
+    """
 
     bin_ix: np.ndarray  # int64 [2^24+1]
-    suffixes: np.ndarray  # uint64 [N] (40-bit values)
+    s_hi: np.ndarray  # uint64 [N]
+    s_lo: np.ndarray  # uint64 [N]
     ixs: np.ndarray  # int64 [N]
     strings: list[bytes]
     semicolons: np.ndarray  # uint8 per label (EXTRA_ADD_DELIM, itree.c:1188-1199)
@@ -42,7 +49,13 @@ class HostIndex:
         if isinstance(ctr, str):
             ctr = read_ctr(ctr, config)
         semis = np.array([count_semicolons(s) for s in ctr.labels], dtype=np.uint8)
-        return cls(ctr.bin_ix, ctr.suffixes, ctr.ixs, ctr.labels, semis, config)
+        if ctr.suffixes.dtype.names:  # W128 structured (PACKSIZE=64)
+            s_hi = ctr.suffixes["hi"].astype(np.uint64)
+            s_lo = ctr.suffixes["lo"].astype(np.uint64)
+        else:
+            s_hi = np.zeros(len(ctr.suffixes), np.uint64)
+            s_lo = ctr.suffixes.astype(np.uint64)
+        return cls(ctr.bin_ix, s_hi, s_lo, ctr.ixs, ctr.labels, semis, config)
 
 
 def lookup_words(index: HostIndex, words: np.ndarray) -> np.ndarray:
@@ -54,26 +67,37 @@ def lookup_words(index: HostIndex, words: np.ndarray) -> np.ndarray:
     (see formats.compute_bin_ix).  Returns BAD (=2^8*ixtype-1) for misses.
     """
     cfg = index.config
-    words = np.asarray(words, dtype=np.uint64)
-    qpre = (words >> np.uint64(cfg.ctr_suffix_bits)).astype(np.int64)
-    qsuf = words & np.uint64(cfg.suffix_mask)
+    if words.dtype.names:  # W128 (PACKSIZE=64): prefix = top 24 of hi
+        hi = words["hi"].astype(np.uint64)
+        qpre = (hi >> np.uint64(40)).astype(np.int64)
+        q_hi = hi & np.uint64((1 << 40) - 1)
+        q_lo = words["lo"].astype(np.uint64)
+    else:
+        words = np.asarray(words, dtype=np.uint64)
+        qpre = (words >> np.uint64(cfg.ctr_suffix_bits)).astype(np.int64)
+        q_hi = np.zeros(len(words), np.uint64)
+        q_lo = words & np.uint64(cfg.suffix_mask)
     start = index.bin_ix[qpre]
     end = index.bin_ix[qpre + 1]
     empty = start >= end
     p = np.where(empty, np.int64(0), start)
     size = np.where(empty, np.int64(0), end - start - 1)
-    suf = index.suffixes
+    s_hi, s_lo = index.s_hi, index.s_lo
+    nmax = len(s_lo) - 1
     while True:
         active = size > 0
         if not active.any():
             break
         w = size >> 1
-        probe = np.minimum(p + w + 1, len(suf) - 1)  # clamp only for inactive lanes
-        le = active & (suf[probe] <= qsuf)
+        probe = np.minimum(p + w + 1, nmax)  # clamp only for inactive lanes
+        le = active & (
+            (s_hi[probe] < q_hi) | ((s_hi[probe] == q_hi) & (s_lo[probe] <= q_lo))
+        )
         p = np.where(le, p + w + 1, p)
         size = np.where(active, np.where(le, size - w - 1, w), size)
-    found = (~empty) & (suf[np.minimum(p, len(suf) - 1)] == qsuf)
-    out = np.full(len(words), cfg.bad_ix, dtype=np.int64)
+    pc = np.minimum(p, nmax)
+    found = (~empty) & (s_hi[pc] == q_hi) & (s_lo[pc] == q_lo)
+    out = np.full(len(qpre), cfg.bad_ix, dtype=np.int64)
     out[found] = index.ixs[p[found]]
     return out
 
@@ -107,7 +131,8 @@ def search_file(
 
 
 def _lookup_one(index: HostIndex, word: int) -> int:
-    """Single-word XT_getIX32 replay (itree.c:699-730)."""
+    """Single-word XT_getIX32 replay (itree.c:699-730); `word` is a Python
+    int of any width (64-bit or 128-bit)."""
     cfg = index.config
     qpre = word >> cfg.ctr_suffix_bits
     qsuf = word & cfg.suffix_mask
@@ -115,16 +140,19 @@ def _lookup_one(index: HostIndex, word: int) -> int:
     end = int(index.bin_ix[qpre + 1])
     if start >= end:
         return cfg.bad_ix
-    suf = index.suffixes
+
+    def suffix_at(j: int) -> int:
+        return (int(index.s_hi[j]) << 64) | int(index.s_lo[j])
+
     p, size = start, end - start - 1
     while size:
         w = size >> 1
-        if int(suf[p + w + 1]) <= qsuf:
+        if suffix_at(p + w + 1) <= qsuf:
             p += w + 1
             size -= w + 1
         else:
             size = w
-    return int(index.ixs[p]) if int(suf[p]) == qsuf else cfg.bad_ix
+    return int(index.ixs[p]) if suffix_at(p) == qsuf else cfg.bad_ix
 
 
 def scan_shallow_literal(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
