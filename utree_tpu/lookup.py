@@ -82,6 +82,33 @@ def extract_windows(codes: jax.Array, k: int = 32):
     return qpre, qhi, qlo, valid
 
 
+def _rev2_32(x):
+    """Reverse the 2-bit groups of a 32-bit lane (base order reversal)."""
+    x = x.astype(jnp.uint32)
+    x = ((x & jnp.uint32(0x33333333)) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF))
+    x = (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+    return x
+
+
+def rc_word_lanes(qpre, qhi, qlo):
+    """Reverse-complement 32-mer words directly on their (pre24, hi8, lo32)
+    lanes — pure bit arithmetic, no gathers.
+
+    The reference appends 'N' + revcomp(text) and rescans (itree.c:891-897);
+    the RC text's valid-window word multiset is exactly {revcomp(w)} over the
+    valid forward windows, and the vote is order-independent, so computing RC
+    words arithmetically is result-identical and skips re-encoding."""
+    lo_u = qlo.astype(jnp.uint32)
+    # forward bases: pre24 = b0..b11, hi8 = b12..b15, lo32 = b16..b31
+    rc_pre = (_rev2_32(~lo_u & jnp.uint32(0x00FFFFFF)) >> jnp.uint32(8)).astype(jnp.int32)
+    rc_hi = (_rev2_32(~lo_u & jnp.uint32(0xFF000000)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    fwd_top = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
+    rc_lo = _rev2_32(~fwd_top)
+    return rc_pre, rc_hi, rc_lo
+
+
 def _suffix_le(hi_a, lo_a, hi_b, lo_b):
     """(hi_a, lo_a) <= (hi_b, lo_b) on 40-bit suffix lanes; the low lane is a
     32-bit payload and must always compare unsigned."""
@@ -130,13 +157,84 @@ def lookup_kmers(
     return jnp.where(found, ix_arr[p], bad_ix)
 
 
-def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
-                k: int, do_rc: bool, probe_iters: int, bad_ix: int):
-    """Full device step: ASCII reads -> per-window label ids (bad_ix = miss)."""
+def _mix_jnp(pre, hi, lo):
+    """jnp twin of hash_index._mix_np — must produce identical uint32 values."""
+    m1 = jnp.uint32(0x9E3779B1)
+    m2 = jnp.uint32(0x85EBCA6B)
+    m3 = jnp.uint32(0xC2B2AE35)
+    lo_u = lo.astype(jnp.uint32)
+    h = pre.astype(jnp.uint32) * m1
+    h = h ^ (lo_u ^ (lo_u >> jnp.uint32(16)))
+    h = h * m2
+    h = h ^ (h >> jnp.uint32(13))
+    h = h + hi.astype(jnp.uint32) * m3
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def lookup_kmers_hash(hash_table: dict, qpre, qhi, qlo, valid, *, slots: int, bad_ix: int):
+    """Exact hash lookup: two contiguous row gathers per k-mer (see
+    hash_index.py).  Result-identical to lookup_kmers."""
+    t1, t2 = hash_table["t1"], hash_table["t2"]
+    b1, b2 = t1.shape[0], t2.shape[0]
+
+    def bits_i32(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.int32)
+
+    key_lo = bits_i32(qlo)
+    key_hi = bits_i32(
+        (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
+    )
+
+    def probe(table, bucket):
+        rows = table[bucket]  # (..., slots*3) one contiguous row gather
+        ix = jnp.zeros(bucket.shape, jnp.int32)
+        found = jnp.zeros(bucket.shape, bool)
+        for s in range(slots):
+            m = (
+                (rows[..., s * 3] == key_lo)
+                & (rows[..., s * 3 + 1] == key_hi)
+                & (rows[..., s * 3 + 2] >= 0)
+            )
+            ix = jnp.where(m, rows[..., s * 3 + 2], ix)
+            found |= m
+        return found, ix
+
+    h1 = _mix_jnp(qpre, qhi, qlo)
+    f1, ix1 = probe(t1, (h1 & jnp.uint32(b1 - 1)).astype(jnp.int32))
+    lo2 = qlo.astype(jnp.uint32) ^ jnp.uint32(0x5BD1E995)
+    h2 = _mix_jnp(qpre, qhi, lo2)
+    f2, ix2 = probe(t2, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32))
+    out = jnp.where(f1, ix1, jnp.where(f2, ix2, bad_ix))
+    return jnp.where(valid, out, bad_ix)
+
+
+def window_lanes(reads_u8: jax.Array, lengths: jax.Array, k: int, do_rc: bool):
+    """ASCII reads -> per-window (qpre, qhi, qlo, valid) lanes, forward
+    followed by arithmetic RC words (k=32)."""
     codes = base_codes(reads_u8, lengths)
-    if do_rc:
+    if do_rc and k != 32:
         codes = append_rc(codes, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
+    if do_rc and k == 32:
+        rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+        qpre = jnp.concatenate([qpre, rpre], axis=1)
+        qhi = jnp.concatenate([qhi, rhi], axis=1)
+        qlo = jnp.concatenate([qlo, rlo], axis=1)
+        valid = jnp.concatenate([valid, valid], axis=1)
+    return qpre, qhi, qlo, valid
+
+
+def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
+                k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                hash_slots: int = 8):
+    """Full device step: ASCII reads -> per-window label ids (bad_ix = miss).
+    Dispatches to the hash path when `table` holds hash buckets ("t1").
+    RC words are derived arithmetically from the forward lanes (k=32)."""
+    qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
+    if "t1" in table:
+        return lookup_kmers_hash(table, qpre, qhi, qlo, valid,
+                                 slots=hash_slots, bad_ix=bad_ix)
     return lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
 
 

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from utree_tpu.config import UTreeConfig
 from utree_tpu.index import DeviceIndexArrays
-from utree_tpu.lookup import _suffix_le, append_rc, base_codes, extract_windows
+from utree_tpu.lookup import _suffix_le, window_lanes
 
 
 # --------------------------------------------------------------------------
@@ -169,10 +169,7 @@ def sharded_search_step(mesh: Mesh, sharded: ShardedIndex, do_rc: bool = False):
 
     def step(table, reads_u8, lengths):
         def shard_fn(t_bin, t_hi, t_lo, t_ix, t_plo, reads, lens):
-            codes = base_codes(reads, lens)
-            if do_rc:
-                codes = append_rc(codes, lens)
-            qpre, qhi, qlo, valid = extract_windows(codes, k)
+            qpre, qhi, qlo, valid = window_lanes(reads, lens, k, do_rc)
             ix, found = _local_lookup(
                 t_bin[0], t_hi[0], t_lo[0], t_ix[0], t_plo[0], num_local_bins,
                 qpre, qhi, qlo, valid, probe_iters, bad_ix,
@@ -213,10 +210,7 @@ def long_read_histogram(mesh: Mesh, index: DeviceIndexArrays, num_labels: int,
 
     def step(table, chunks_u8, chunk_lens):
         def shard_fn(reads, lens):
-            codes = base_codes(reads, lens)
-            if do_rc:
-                codes = append_rc(codes, lens)
-            qpre, qhi, qlo, valid = extract_windows(codes, k)
+            qpre, qhi, qlo, valid = window_lanes(reads, lens, k, do_rc)
             from utree_tpu.lookup import lookup_kmers
 
             ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)

@@ -48,14 +48,23 @@ class SearchPipeline:
     do_rc: bool = False
     batch_size: int = 8192
     hist_cap: int = 16
+    lookup_mode: str = "auto"  # "hash" | "bsearch" | "auto"
     _table: dict = None
 
     use_native_vote: bool = True
 
     def __post_init__(self):
-        if self._table is None:
-            self._table = self.index.device_put()
         cfg = self.index.config
+        if self._table is None:
+            use_hash = self.lookup_mode == "hash" or (
+                self.lookup_mode == "auto" and self.index.num_records < 300_000_000
+            )
+            if use_hash:
+                from utree_tpu.hash_index import build_hash_index
+
+                self._table = build_hash_index(self.index).device_put()
+            else:
+                self._table = self.index.device_put()
         self._vote_engine = None
         if self.use_native_vote:
             from utree_tpu.native import VoteEngine
@@ -189,6 +198,43 @@ class SearchPipeline:
                 flat_c[lo:hi] = counts[i, : nu[i]]
         return self._vote_engine.vote_batch(names, offsets, flat_l, flat_c)
 
+    # ---- long reads (up to 16Mb, itree.c:836) --------------------------------
+
+    long_read_threshold: int = 1 << 16
+    long_chunk: int = 1 << 15
+
+    def classify_long_read(self, name: bytes, seq: bytes) -> bytes | None:
+        """Position-sharded long-read classification: the read's windows are
+        split into chunk rows (each chunk scans forward+RC of its own span,
+        which yields exactly the full read's hit multiset — see
+        parallel.long_read_histogram), histograms merge on host, then the
+        ordinary vote runs.  Exact at any chunk size."""
+        from utree_tpu.parallel.sharded import split_long_read
+
+        k = self.index.config.packsize
+        num_chunks = max(1, -(-max(0, len(seq) - k + 1) // self.long_chunk))
+        num_chunks = _bucket_len(num_chunks, minimum=1)  # bound jit recompiles
+        chunks, lens = split_long_read(seq, num_chunks, k)
+        packed = np.asarray(self._step(self._table, chunks, lens.astype(np.int32)))
+        cap = self.hist_cap
+        labels = packed[:, :cap]
+        counts = packed[:, cap : 2 * cap]
+        nuniq = packed[:, 2 * cap]
+        agg: dict[int, int] = {}
+        for r in range(len(chunks)):
+            if nuniq[r] > cap:  # chunk overflowed the device histogram
+                hits = self._host_hits(chunks[r, : lens[r]].tobytes())
+                for h in hits:
+                    agg[int(h)] = agg.get(int(h), 0) + 1
+            else:
+                for s in range(int(nuniq[r])):
+                    agg[int(labels[r, s])] = agg.get(int(labels[r, s]), 0) + int(counts[r, s])
+        if not agg:
+            return None
+        ks = np.array(sorted(agg), np.int64)
+        vs = np.array([agg[int(x)] for x in ks], np.int64)
+        return aufbau_vote_counts(name, ks, vs, self.index.strings, self.index.config.taxacut)
+
     # ---- streaming driver ----------------------------------------------------
 
     def search_file(self, reads_path: str, out_path: str, queue_depth: int = 2,
@@ -223,7 +269,21 @@ class SearchPipeline:
                 n += 1
                 if n <= skip:
                     continue
-                names.append(header.split(b" ")[0])
+                name = header.split(b" ")[0]
+                if len(seq) > self.long_read_threshold:
+                    # flush queued short reads first to keep output order
+                    if seqs:
+                        pending.append((names, seqs, self.dispatch(seqs)))
+                        names, seqs = [], []
+                    drain(block=True)
+                    line = self.classify_long_read(name, seq)
+                    if line is not None:
+                        fo.write(line + b"\n")
+                    fo.flush()
+                    done += 1
+                    ckpt.commit(done, fo.tell())
+                    continue
+                names.append(name)
                 seqs.append(seq)
                 if len(seqs) >= self.batch_size:
                     pending.append((names, seqs, self.dispatch(seqs)))

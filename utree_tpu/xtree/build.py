@@ -155,6 +155,40 @@ def build_xtree_db(
     )
 
 
+def write_build_log(db: XtreeDB, path: str) -> None:
+    """Per-ref TotalKmers/UniqKmers stats (xtree.c:476-529): a k-mer is
+    ambiguous if any pod sharing its (bin, suffix) run has a different rix;
+    in-ref duplicate copies all count toward totals."""
+    nr = db.num_refs
+    tot = np.zeros(nr, np.int64)
+    uniq = np.zeros(nr, np.int64)
+    bins = db.bin_offsets.astype(np.int64)
+    sfx, rix = db.sfx, db.rix
+    for b in np.flatnonzero(np.diff(bins)):
+        lo, hi = int(bins[b]), int(bins[b + 1])
+        j = lo
+        while j < hi:
+            e = j
+            while e < hi and sfx[e] == sfx[j]:
+                e += 1
+            ambig = len(set(rix[j:e].tolist())) > 1
+            jj = j
+            while jj < e:
+                rr = int(rix[jj])
+                nd = 1
+                while jj + nd < e and rix[jj + nd] == rr:
+                    nd += 1
+                if not ambig:
+                    uniq[rr] += nd
+                tot[rr] += nd
+                jj += nd
+            j = e
+    with open(path, "wb") as fo:
+        fo.write(b"Reference\tTotalKmers\tUniqKmers\n")
+        for i in range(nr):
+            fo.write(db.ref_names[i] + b"\t%d\t%d\n" % (tot[i], uniq[i]))
+
+
 def _ingest_map(map_path: str, ref_names: list[bytes]):
     """Map ingest (xtree.c:538-718): 2-3 tab columns; unique sorted taxa pools;
     per-ref (h1, h2) ids.  The header is matched against map keys tab-tolerantly
