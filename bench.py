@@ -26,9 +26,10 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     num_kmers = int(os.environ.get("BENCH_KMERS", 20_000_000))
-    num_reads = int(os.environ.get("BENCH_READS", 200_000))
+    num_reads = int(os.environ.get("BENCH_READS", 400_000))
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
-    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    batch = int(os.environ.get("BENCH_BATCH", 32768))
+    num_reads = max(batch, (num_reads // batch) * batch)  # one jit shape
     num_labels = int(os.environ.get("BENCH_LABELS", 4096))
     do_rc = os.environ.get("BENCH_RC", "1") == "1"
 

@@ -1,0 +1,77 @@
+// Native linearized-FASTA scanning and batch packing.
+//
+// The reference reads with fgets under an omp critical section
+// (itree.c:867-875) and notes I/O as its own bottleneck (README.md:69).
+// Here the host-side pipeline scans the whole (mmap'd) file once into a
+// record table, then packs read batches straight into the padded uint8
+// matrices the device consumes — no per-read Python.
+//
+// Build: g++ -O3 -shared -fPIC -o libutreefasta.so fasta.cpp
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Scan a linearized FASTA buffer.  Each record: header line starting '>',
+// one sequence line.  Writes 4 int64 per record:
+//   [0] name start (after '>'), [1] name end (first ' ' or end of line —
+//       the search cuts names at the first space, itree.c:881-882),
+//   [2] sequence start, [3] sequence end (trailing \r/\n excluded).
+// Returns the record count, or -(position) on a malformed record.
+int64_t utree_scan_fasta(const char* data, int64_t size, int64_t* recs,
+                         int64_t max_recs) {
+  int64_t pos = 0, n = 0;
+  while (pos < size) {
+    if (data[pos] != '>') return -(pos + 1);
+    int64_t hstart = pos + 1;
+    int64_t he = hstart;
+    while (he < size && data[he] != '\n') ++he;
+    // name ends at first space (or line end)
+    int64_t ne = hstart;
+    while (ne < he && data[ne] != ' ' && data[ne] != '\r') ++ne;
+    int64_t sstart = he + 1;
+    if (sstart >= size) return -(pos + 1);
+    int64_t se = sstart;
+    while (se < size && data[se] != '\n') ++se;
+    int64_t send = se;
+    if (send > sstart && data[send - 1] == '\r') --send;
+    if (n >= max_recs) return -(pos + 1);
+    recs[n * 4] = hstart;
+    recs[n * 4 + 1] = ne;
+    recs[n * 4 + 2] = sstart;
+    recs[n * 4 + 3] = send;
+    ++n;
+    pos = se + 1;
+  }
+  return n;
+}
+
+// Pack records [first, first+count) into a zero-padded (count, lmax) uint8
+// matrix + lengths, and emit a '\0'-separated name pool + offsets for the
+// vote formatter.  Sequences longer than lmax are an error (-1) — the caller
+// routes long reads separately.  Returns bytes used in name_pool.
+int64_t utree_pack_batch(const char* data, const int64_t* recs, int64_t first,
+                         int64_t count, int64_t lmax, uint8_t* reads,
+                         int32_t* lens, char* name_pool, int64_t name_cap,
+                         int64_t* name_offsets) {
+  memset(reads, 0, (size_t)count * lmax);
+  int64_t np_used = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t* r = recs + (first + i) * 4;
+    int64_t slen = r[3] - r[2];
+    if (slen > lmax) return -1;
+    memcpy(reads + i * lmax, data + r[2], slen);
+    lens[i] = (int32_t)slen;
+    int64_t nlen = r[1] - r[0];
+    if (np_used + nlen + 1 > name_cap) return -2;
+    name_offsets[i] = np_used;
+    memcpy(name_pool + np_used, data + r[0], nlen);
+    np_used += nlen;
+    name_pool[np_used++] = '\0';
+  }
+  name_offsets[count] = np_used;
+  return np_used;
+}
+
+}  // extern "C"

@@ -21,21 +21,21 @@ def test_resume_produces_identical_output(toy, tmp_path):
         pass
 
     count = {"n": 0}
-    orig = pipe.finalize_bytes
+    orig = pipe._unpack
 
-    def bomb(names, seqs, handles):
+    def bomb(handles):
         if count["n"] >= 3:
             raise Stop()
         count["n"] += 1
-        return orig(names, seqs, handles)
+        return orig(handles)
 
-    pipe.finalize_bytes = bomb
+    pipe._unpack = bomb
     try:
         pipe.search_file(toy["reads"], str(part))
         raise AssertionError("should have been interrupted")
     except Stop:
         pass
-    pipe.finalize_bytes = orig
+    pipe._unpack = orig
     assert (tmp_path / "part.txt.ckpt").exists()
     partial_size = part.stat().st_size
     assert 0 < partial_size < full.stat().st_size

@@ -58,6 +58,78 @@ def vote_lib():
     return lib
 
 
+_fasta_lib = None
+_fasta_tried = False
+
+
+def fasta_lib():
+    global _fasta_lib, _fasta_tried
+    if _fasta_tried:
+        return _fasta_lib
+    _fasta_tried = True
+    so = _compile("fasta.cpp", "libutreefasta.so")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.utree_scan_fasta.restype = ctypes.c_int64
+    lib.utree_scan_fasta.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+    ]
+    lib.utree_pack_batch.restype = ctypes.c_int64
+    lib.utree_pack_batch.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
+    ]
+    _fasta_lib = lib
+    return lib
+
+
+class FastaScanner:
+    """Whole-file record table + zero-copy-ish batch packing (C++)."""
+
+    def __init__(self, data: bytes):
+        self.lib = fasta_lib()
+        if self.lib is None:
+            raise RuntimeError("native fasta lib unavailable")
+        self.data = data
+        max_recs = max(16, data.count(b">") + 1)
+        recs = np.zeros(max_recs * 4, np.int64)
+        n = self.lib.utree_scan_fasta(data, len(data), recs, max_recs)
+        if n < 0:
+            raise ValueError(f"malformed FASTA at byte {-n - 1}")
+        self.num_records = int(n)
+        self.recs = recs[: n * 4].reshape(n, 4)
+
+    def seq_lengths(self) -> np.ndarray:
+        return self.recs[:, 3] - self.recs[:, 2]
+
+    def pack(self, first: int, count: int, lmax: int):
+        """(reads (count,lmax) u8, lens i32, name_pool bytes, name_offsets)"""
+        reads = np.zeros((count, lmax), np.uint8)
+        lens = np.zeros(count, np.int32)
+        name_offsets = np.zeros(count + 1, np.int64)
+        cap = int((self.recs[first : first + count, 1] - self.recs[first : first + count, 0]).sum() + count + 16)
+        pool = ctypes.create_string_buffer(cap)
+        used = self.lib.utree_pack_batch(
+            self.data, self.recs.reshape(-1), first, count, lmax,
+            reads, lens, pool, cap, name_offsets,
+        )
+        if used < 0:
+            raise ValueError(f"pack error {used}")
+        return reads, lens, pool.raw[:used], name_offsets
+
+    def record_seq(self, i: int) -> bytes:
+        a, b = int(self.recs[i, 2]), int(self.recs[i, 3])
+        return self.data[a:b]
+
+    def record_name(self, i: int) -> bytes:
+        a, b = int(self.recs[i, 0]), int(self.recs[i, 1])
+        return self.data[a:b]
+
+
 class VoteEngine:
     """Batch aufbau vote + formatting in C++ (exact peer of classify.py)."""
 
@@ -89,6 +161,17 @@ class VoteEngine:
         for i, nm in enumerate(names):
             name_offsets[i + 1] = name_offsets[i] + len(nm) + 1
         name_pool = b"\x00".join(names) + b"\x00" if names else b"\x00"
+        return self.vote_batch_pooled(n, name_pool, name_offsets[:-1], hist_offsets, labels, counts)
+
+    def vote_batch_pooled(
+        self,
+        n: int,
+        name_pool: bytes,
+        name_offsets: np.ndarray,
+        hist_offsets: np.ndarray,
+        labels: np.ndarray,
+        counts: np.ndarray,
+    ) -> bytes:
         cap = 1 << 20
         while True:
             out = ctypes.create_string_buffer(cap)

@@ -72,17 +72,22 @@ class SearchPipeline:
             eng = VoteEngine(self.index.strings, cfg.taxacut)
             if eng.available:
                 self._vote_engine = eng
-        self._step = jax.jit(
-            functools.partial(
-                search_step_hist,
-                k=cfg.packsize,
-                do_rc=self.do_rc,
-                probe_iters=self.index.probe_iters,
-                bad_ix=cfg.bad_ix,
-                num_labels=self.index.num_labels,
-                cap=self.hist_cap,
-            )
+        common = dict(
+            k=cfg.packsize,
+            do_rc=self.do_rc,
+            probe_iters=self.index.probe_iters,
+            bad_ix=cfg.bad_ix,
+            num_labels=self.index.num_labels,
+            cap=self.hist_cap,
         )
+        # packed-transfer fast path: 2-bit reads in, u16-packed histograms out
+        self._packed = cfg.packsize == 32 and self.index.num_labels < 0xFFFF
+        if self._packed:
+            from utree_tpu.lookup import search_step_hist_packed
+
+            self._step = jax.jit(functools.partial(search_step_hist_packed, **common))
+        else:
+            self._step = jax.jit(functools.partial(search_step_hist, **common))
 
     # ---- device dispatch -----------------------------------------------
 
@@ -100,7 +105,17 @@ class SearchPipeline:
     def dispatch(self, seqs: list[bytes]):
         """Asynchronously dispatch one batch; returns device handles."""
         reads, lengths = self._pack(seqs)
-        return self._step(self._table, reads, lengths)
+        return self.dispatch_matrix(reads, lengths)
+
+    def dispatch_matrix(self, reads: np.ndarray, lengths: np.ndarray):
+        if self._packed:
+            from utree_tpu.lookup import pack_reads_host
+
+            if reads.shape[1] % 8:
+                reads = np.pad(reads, ((0, 0), (0, 8 - reads.shape[1] % 8)))
+            packed, vbits, lens = pack_reads_host(reads, lengths)
+            return self._step(self._table, packed, vbits, lens)
+        return self._step(self._table, reads, lengths.astype(np.int32))
 
     # ---- host-side exact fallback (overflowed histograms) ----------------
 
@@ -136,9 +151,18 @@ class SearchPipeline:
     # ---- vote + format -----------------------------------------------------
 
     def _unpack(self, handles):
-        packed = np.asarray(handles)
+        arr = np.asarray(handles)
         cap = self.hist_cap
-        return packed[:, :cap], packed[:, cap : 2 * cap], packed[:, 2 * cap], packed[:, 2 * cap + 1]
+        if self._packed:
+            u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
+            lc = u[:, :cap]
+            labels = (lc & 0xFFFF).astype(np.int32) - 1
+            counts = (lc >> 16).astype(np.int32)
+            tail = u[:, cap]
+            nuniq = (tail & 31).astype(np.int32)
+            found = (tail >> 5).astype(np.int32)
+            return labels, counts, nuniq, found
+        return arr[:, :cap], arr[:, cap : 2 * cap], arr[:, 2 * cap], arr[:, 2 * cap + 1]
 
     def finalize(self, names: list[bytes], seqs: list[bytes], handles) -> list[bytes | None]:
         labels, counts, nuniq, found = self._unpack(handles)
@@ -173,7 +197,7 @@ class SearchPipeline:
             )
         labels, counts, nuniq, found = self._unpack(handles)
         b = len(names)
-        nu = np.minimum(nuniq, self.hist_cap)
+        nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
         overflow = np.flatnonzero(nuniq > self.hist_cap)
         extra_l: dict[int, np.ndarray] = {}
         extra_c: dict[int, np.ndarray] = {}
@@ -186,22 +210,29 @@ class SearchPipeline:
             nu[i] = len(nz)
         offsets = np.zeros(b + 1, np.int64)
         np.cumsum(nu, out=offsets[1:])
-        flat_l = np.empty(int(offsets[-1]), np.int32)
-        flat_c = np.empty(int(offsets[-1]), np.int32)
-        for i in range(b):
-            lo, hi = offsets[i], offsets[i + 1]
-            if i in extra_l:
-                flat_l[lo:hi] = extra_l[i]
-                flat_c[lo:hi] = extra_c[i]
-            else:
-                flat_l[lo:hi] = labels[i, : nu[i]]
-                flat_c[lo:hi] = counts[i, : nu[i]]
+        if len(overflow) == 0:
+            # vectorized CSR flatten (row-major boolean mask preserves order)
+            mask = np.arange(self.hist_cap)[None, :] < nu[:, None]
+            flat_l = labels[mask].astype(np.int32)
+            flat_c = counts[mask].astype(np.int32)
+        else:
+            flat_l = np.empty(int(offsets[-1]), np.int32)
+            flat_c = np.empty(int(offsets[-1]), np.int32)
+            for i in range(b):
+                lo, hi = offsets[i], offsets[i + 1]
+                if i in extra_l:
+                    flat_l[lo:hi] = extra_l[i]
+                    flat_c[lo:hi] = extra_c[i]
+                else:
+                    flat_l[lo:hi] = labels[i, : nu[i]]
+                    flat_c[lo:hi] = counts[i, : nu[i]]
         return self._vote_engine.vote_batch(names, offsets, flat_l, flat_c)
 
     # ---- long reads (up to 16Mb, itree.c:836) --------------------------------
+    # threshold keeps short-path window counts < 2^16 (u16 output packing)
 
-    long_read_threshold: int = 1 << 16
-    long_chunk: int = 1 << 15
+    long_read_threshold: int = 1 << 14
+    long_chunk: int = 1 << 14
 
     def classify_long_read(self, name: bytes, seq: bytes) -> bytes | None:
         """Position-sharded long-read classification: the read's windows are
@@ -215,11 +246,8 @@ class SearchPipeline:
         num_chunks = max(1, -(-max(0, len(seq) - k + 1) // self.long_chunk))
         num_chunks = _bucket_len(num_chunks, minimum=1)  # bound jit recompiles
         chunks, lens = split_long_read(seq, num_chunks, k)
-        packed = np.asarray(self._step(self._table, chunks, lens.astype(np.int32)))
+        labels, counts, nuniq, _found = self._unpack(self.dispatch_matrix(chunks, lens))
         cap = self.hist_cap
-        labels = packed[:, :cap]
-        counts = packed[:, cap : 2 * cap]
-        nuniq = packed[:, 2 * cap]
         agg: dict[int, int] = {}
         for r in range(len(chunks)):
             if nuniq[r] > cap:  # chunk overflowed the device histogram
@@ -241,7 +269,112 @@ class SearchPipeline:
                     resume: bool = False) -> int:
         """Stream reads -> classifications.  With resume=True, continues an
         interrupted run from the last committed batch boundary (sidecar
-        <out>.ckpt); the final output bytes equal an uninterrupted run."""
+        <out>.ckpt); the final output bytes equal an uninterrupted run.
+        Plain (non-gz) files with the native runtime available take the
+        C++-scanner fast path."""
+        if not str(reads_path).endswith(".gz") and self._vote_engine is not None:
+            from utree_tpu.native import fasta_lib
+
+            if fasta_lib() is not None:
+                return self._search_file_native(reads_path, out_path, queue_depth, resume)
+        return self._search_file_py(reads_path, out_path, queue_depth, resume)
+
+    def _search_file_native(self, reads_path: str, out_path: str,
+                            queue_depth: int, resume: bool) -> int:
+        """C++-scanned driver: record table once, batches packed in C++,
+        pooled names straight into the C++ vote.  Output identical to the
+        Python driver."""
+        from utree_tpu.native import FastaScanner
+        from utree_tpu.utils.checkpoint import SearchCheckpoint
+
+        with open(reads_path, "rb") as f:
+            data = f.read()
+        sc = FastaScanner(data)
+        n = sc.num_records
+        lens_all = sc.seq_lengths()
+        ckpt = SearchCheckpoint(out_path)
+        skip, out_bytes = ckpt.load() if resume else (0, 0)
+        mode = "r+b" if resume and pathlib.Path(out_path).exists() else "wb"
+        pending: list[tuple[int, int, object, bytes, np.ndarray]] = []
+        with open(out_path, mode) as fo:
+            fo.truncate(out_bytes)
+            fo.seek(out_bytes)
+            done = skip
+
+            def finalize_native(first, count, h, name_pool, name_offsets):
+                labels, counts, nuniq, found = self._unpack(h)
+                labels, counts, nuniq = labels[:count], counts[:count], nuniq[:count]
+                nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
+                over = np.flatnonzero(nuniq > self.hist_cap)
+                offsets = np.zeros(count + 1, np.int64)
+                if len(over) == 0:
+                    np.cumsum(nu, out=offsets[1:])
+                    mask = np.arange(self.hist_cap)[None, :] < nu[:, None]
+                    flat_l = labels[mask].astype(np.int32)
+                    flat_c = counts[mask].astype(np.int32)
+                else:
+                    extra = {}
+                    for i in over:
+                        hits = self._host_hits(sc.record_seq(first + int(i)))
+                        cnt = np.bincount(hits)
+                        nz = np.flatnonzero(cnt)
+                        extra[int(i)] = (nz, cnt[nz])
+                        nu[i] = len(nz)
+                    np.cumsum(nu, out=offsets[1:])
+                    flat_l = np.empty(int(offsets[-1]), np.int32)
+                    flat_c = np.empty(int(offsets[-1]), np.int32)
+                    for i in range(count):
+                        lo, hi = offsets[i], offsets[i + 1]
+                        if i in extra:
+                            flat_l[lo:hi], flat_c[lo:hi] = extra[i]
+                        else:
+                            flat_l[lo:hi] = labels[i, : nu[i]]
+                            flat_c[lo:hi] = counts[i, : nu[i]]
+                return self._vote_engine.vote_batch_pooled(
+                    count, name_pool, name_offsets[:-1], offsets, flat_l, flat_c
+                )
+
+            def drain(block: bool):
+                nonlocal done
+                while pending and (block or len(pending) >= queue_depth):
+                    first, count, h, npool, noffs = pending.pop(0)
+                    fo.write(finalize_native(first, count, h, npool, noffs))
+                    fo.flush()
+                    done += count
+                    ckpt.commit(done, fo.tell())
+
+            r = skip
+            while r < n:
+                if lens_all[r] > self.long_read_threshold:
+                    drain(block=True)
+                    line = self.classify_long_read(sc.record_name(r), sc.record_seq(r))
+                    if line is not None:
+                        fo.write(line + b"\n")
+                    fo.flush()
+                    done += 1
+                    ckpt.commit(done, fo.tell())
+                    r += 1
+                    continue
+                # contiguous run of short records
+                e = r
+                while e < n and e - r < self.batch_size and lens_all[e] <= self.long_read_threshold:
+                    e += 1
+                count = e - r
+                lmax = _bucket_len(int(lens_all[r:e].max()), minimum=64)
+                lmax = max(lmax, self.index.config.packsize)
+                reads, lens, npool, noffs = sc.pack(r, count, lmax)
+                if count < self.batch_size:  # pad rows: one jit shape per lmax
+                    reads = np.pad(reads, ((0, self.batch_size - count), (0, 0)))
+                    lens = np.pad(lens, (0, self.batch_size - count))
+                pending.append((r, count, self.dispatch_matrix(reads, lens), npool, noffs))
+                drain(block=False)
+                r = e
+            drain(block=True)
+        ckpt.finish()
+        return n
+
+    def _search_file_py(self, reads_path: str, out_path: str, queue_depth: int,
+                        resume: bool) -> int:
         from utree_tpu.utils.checkpoint import SearchCheckpoint
 
         ckpt = SearchCheckpoint(out_path)
