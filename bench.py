@@ -42,17 +42,21 @@ def main():
     rng = np.random.default_rng(0)
 
     # synthetic genome -> its dense 32-mer set is the DB (realistic prefix
-    # distribution and bin sizes); labels are random taxonomies
+    # distribution and bin sizes).  The genome models num_labels concatenated
+    # organisms: each contiguous region's k-mers share one taxonomy, as in a
+    # real reference DB — so a read hits ~1 label (2 near region borders),
+    # matching real per-read unique-label counts.
     genome_len = num_kmers + 31
     genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=genome_len).astype(np.uint8)
     words = sample_build_kmers(genome.tobytes(), cfg.packsize, 0)
+    pos_labels = (np.arange(len(words), dtype=np.int64) * num_labels) // len(words)
     order = np.argsort(words, kind="stable")
     sw = words[order]
     keep = np.empty(len(sw), bool)
     keep[0] = True
     keep[1:] = sw[1:] != sw[:-1]
     sw = sw[keep]
-    ixs = rng.integers(0, num_labels, size=len(sw)).astype(np.int64)
+    ixs = pos_labels[order][keep]
     ranks = b"kpcofgst"
     labels = []
     for i in range(num_labels):

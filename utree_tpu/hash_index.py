@@ -85,31 +85,55 @@ def _reference_hits(index: DeviceIndexArrays):
     starts = bin_ix[:-1]
     ends = bin_ix[1:]
     pop = np.flatnonzero(ends > starts)
-    out_pre = []
-    out_hi = []
-    out_lo = []
-    out_ix = []
-    for p in pop:
+    # global break scan: breaks[i] == 1 means suffix[i] <= suffix[i-1]; a bin
+    # range [a, b) is NORMAL iff it contains no break strictly inside — i.e.
+    # its suffixes are strictly increasing, so every distinct suffix probes to
+    # itself.  Only anomalous bins (compressor quirks; a handful at most) need
+    # the literal per-suffix probe replay below.
+    breaks_cum = np.zeros(n + 1, np.int64)
+    if n > 1:
+        np.cumsum(suffix[1:] <= suffix[:-1], out=breaks_cum[2:])
+        breaks_cum[1] = 0
+    a_pop = starts[pop]
+    b_pop = ends[pop]
+    inner_breaks = breaks_cum[b_pop] - breaks_cum[np.minimum(a_pop + 1, b_pop)]
+    normal = inner_breaks == 0
+    npop = pop[normal]
+    lens = (b_pop - a_pop)[normal]
+    idx = _ranges_to_indices(a_pop[normal], lens)
+    out_pre = [np.repeat(npop, lens)]
+    out_hi = [suf_hi[idx]]
+    out_lo = [suf_lo[idx]]
+    out_ix = [index.ix[idx].astype(np.int64)]
+    for p in pop[~normal]:
         a, b = int(starts[p]), int(ends[p])
         s = suffix[a:b]
-        if len(s) > 1 and not np.all(s[1:] > s[:-1]):
-            # anomalous (merged/contaminated) range: literal probe per
-            # distinct suffix — only reachable via compressor quirks, so tiny
-            for q in np.unique(s):
-                ixv = _probe_range(s, index.ix[a:b], int(q))
-                if ixv is not None:
-                    out_pre.append(p); out_hi.append(int(q) >> 32)
-                    out_lo.append(int(q) & 0xFFFFFFFF); out_ix.append(ixv)
-        else:
-            out_pre.append(np.full(b - a, p, np.int64))
-            out_hi.append(suf_hi[a:b])
-            out_lo.append(suf_lo[a:b])
-            out_ix.append(index.ix[a:b].astype(np.int64))
+        # anomalous (merged/contaminated) range: literal probe per
+        # distinct suffix — only reachable via compressor quirks, so tiny
+        for q in np.unique(s):
+            ixv = _probe_range(s, index.ix[a:b], int(q))
+            if ixv is not None:
+                out_pre.append(p); out_hi.append(int(q) >> 32)
+                out_lo.append(int(q) & 0xFFFFFFFF); out_ix.append(ixv)
     pre = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_pre]) if out_pre else np.zeros(0, np.int64)
     hi = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_hi]) if out_hi else np.zeros(0, np.int64)
     lo = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_lo]) if out_lo else np.zeros(0, np.int64)
     ix = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_ix]) if out_ix else np.zeros(0, np.int64)
     return pre, hi, lo, ix
+
+
+def _ranges_to_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+len) ranges into one index vector, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    idx = np.ones(total, np.int64)
+    heads = np.zeros(len(lens), np.int64)
+    np.cumsum(lens, out=heads)
+    pos = np.concatenate(([0], heads[:-1]))
+    idx[pos] = starts
+    idx[pos[1:]] -= starts[:-1] + lens[:-1] - 1
+    return np.cumsum(idx)
 
 
 def _probe_range(suffixes: np.ndarray, ixs: np.ndarray, q: int):
@@ -153,19 +177,29 @@ def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4
     t1[rows, cols * 3 + 2] = ix[src].astype(np.int32)
     spill = order[~fits]
 
+    h2 = _mix_np(pre[spill], hi[spill], lo[spill] ^ np.int64(0x5BD1E995))
     b2 = max(8, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, slots // 2))))))
-    t2 = np.full((b2, slots * 3), -1, np.int32)
-    fill2 = np.zeros(b2, np.int32)
-    for i in spill:
-        h2 = np.uint32(
-            int(_mix_np(np.array([pre[i]]), np.array([hi[i]]), np.array([lo[i] ^ 0x5BD1E995]))[0])
-        )
-        bkt = int(h2) & (b2 - 1)
-        f = fill2[bkt]
-        if f >= slots:
+    # grow until every spill bucket fits in `slots` (Poisson tails make the
+    # first size overflow routinely at tens of millions of entries)
+    while True:
+        bucket2 = (h2 & np.uint32(b2 - 1)).astype(np.int64)
+        order2 = np.argsort(bucket2, kind="stable")
+        sb2 = bucket2[order2]
+        new2 = np.ones(len(sb2), bool)
+        if len(sb2) > 1:
+            new2[1:] = sb2[1:] != sb2[:-1]
+        grp2 = np.maximum.accumulate(np.where(new2, np.arange(len(sb2)), 0))
+        pos2 = np.arange(len(sb2)) - grp2
+        if len(pos2) == 0 or int(pos2.max()) < slots:
+            break
+        b2 *= 2
+        if b2 > max(8, 2 * b1):
             raise RuntimeError("hash spill table overflow; lower load factor")
-        t2[bkt, f * 3] = key_lo[i]
-        t2[bkt, f * 3 + 1] = key_hi[i]
-        t2[bkt, f * 3 + 2] = np.int32(ix[i])
-        fill2[bkt] = f + 1
+    t2 = np.full((b2, slots * 3), -1, np.int32)
+    rows2 = sb2
+    cols2 = pos2
+    src2 = spill[order2]
+    t2[rows2, cols2 * 3] = key_lo[src2]
+    t2[rows2, cols2 * 3 + 1] = key_hi[src2]
+    t2[rows2, cols2 * 3 + 2] = ix[src2].astype(np.int32)
     return HashIndexArrays(t1=t1, t2=t2, slots=slots, num_entries=n)
