@@ -4,9 +4,9 @@ compressor's quirky bin-table cases."""
 import numpy as np
 
 from utree_tpu.config import UTreeConfig
-from utree_tpu.hash_index import build_hash_index
+from utree_tpu.hash_index import _rc64, build_canonical_hash_index, build_hash_index
 from utree_tpu.index import DeviceIndexArrays
-from utree_tpu.lookup import lookup_kmers, lookup_kmers_hash
+from utree_tpu.lookup import lookup_kmers, lookup_kmers_canonical, lookup_kmers_hash
 
 
 def _check_equal(index, cfg, words):
@@ -71,3 +71,85 @@ def test_hash_handles_contaminated_range():
     index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(5)], cfg)
     q = np.concatenate([words, rng.integers(0, 1 << 42, size=1000, dtype=np.uint64)])
     _check_equal(index, cfg, q)
+
+
+def _lanes(words):
+    qpre = (words >> np.uint64(40)).astype(np.int32)
+    qhi = ((words >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
+    qlo = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return qpre, qhi, qlo
+
+
+def _canonical_case(words, ixs, nlab, queries, valid=None):
+    """Canonical path vs probe-replay ground truth, both strands."""
+    cfg = UTreeConfig()
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(nlab)], cfg)
+    bs = index.device_put()
+    qpre, qhi, qlo = _lanes(queries)
+    if valid is None:
+        valid = np.ones(len(queries), bool)
+    ref_f = np.asarray(lookup_kmers(bs, qpre, qhi, qlo, valid, index.probe_iters, cfg.bad_ix))
+    rc = _rc64(queries)
+    rpre, rhi, rlo = _lanes(rc)
+    ref_r = np.asarray(lookup_kmers(bs, rpre, rhi, rlo, valid, index.probe_iters, cfg.bad_ix))
+    ch = build_canonical_hash_index(index).device_put()
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4, slots2=8,
+                                      bad_ix=cfg.bad_ix, do_rc=True)
+    ixa, ixb = np.asarray(ixa), np.asarray(ixb)
+    # per-position hit multiset must match {lookup(f), lookup(rc f)}
+    got = np.sort(np.stack([ixa, ixb]), axis=0)
+    want = np.sort(np.stack([ref_f, ref_r]), axis=0)
+    assert np.array_equal(got, want)
+    # non-RC variant returns exactly the forward-strand result
+    fwd = np.asarray(lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4,
+                                            slots2=8, bad_ix=cfg.bad_ix, do_rc=False))
+    assert np.array_equal(fwd, ref_f)
+    return ref_f, ref_r
+
+
+def test_canonical_equals_two_strand_bsearch_random():
+    rng = np.random.default_rng(3)
+    cfg = UTreeConfig()
+    words = np.unique(rng.integers(0, 1 << 64, size=60_000, dtype=np.uint64))
+    ixs = rng.integers(0, 900, size=len(words)).astype(np.int64)
+    q = np.concatenate([
+        rng.choice(words, 1500),
+        _rc64(rng.choice(words, 1500)),          # queries whose RC is in the DB
+        rng.integers(0, 1 << 64, size=2000, dtype=np.uint64),
+    ])
+    ref_f, ref_r = _canonical_case(words, ixs, 900, q)
+    assert (ref_f != cfg.bad_ix).sum() >= 1500
+    assert (ref_r != cfg.bad_ix).sum() >= 1500
+
+
+def test_canonical_rc_pairs_and_palindromes():
+    """DB containing both w and rc(w) under different labels, plus a
+    palindromic 32-mer (rc(w) == w) which must hit on BOTH scans."""
+    rng = np.random.default_rng(4)
+    base = np.unique(rng.integers(0, 1 << 64, size=300, dtype=np.uint64))
+    pal_half = rng.integers(0, 1 << 32, size=50, dtype=np.uint64)
+    # palindrome condition: high32(w) == rev2(~low32(w)); _rc64(h) with h < 2^32
+    # carries exactly rev2(~h) in its high half
+    pal = (_rc64(pal_half) & np.uint64(0xFFFFFFFF00000000)) | pal_half
+    pal = pal[pal == _rc64(pal)]
+    assert len(pal) > 0
+    words = np.unique(np.concatenate([base, _rc64(base), pal]))
+    ixs = (np.arange(len(words)) % 11).astype(np.int64)
+    q = np.concatenate([words, _rc64(words), rng.integers(0, 1 << 64, size=500, dtype=np.uint64)])
+    _canonical_case(words, ixs, 11, q)
+
+
+def test_canonical_invalid_windows_masked():
+    rng = np.random.default_rng(5)
+    words = np.unique(rng.integers(0, 1 << 64, size=5000, dtype=np.uint64))
+    ixs = rng.integers(0, 30, size=len(words)).astype(np.int64)
+    q = rng.choice(words, 800)
+    valid = rng.random(len(q)) < 0.5
+    cfg = UTreeConfig()
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(30)], cfg)
+    ch = build_canonical_hash_index(index).device_put()
+    qpre, qhi, qlo = _lanes(q)
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4, slots2=8,
+                                      bad_ix=cfg.bad_ix, do_rc=True)
+    assert np.all(np.asarray(ixa)[~valid] == cfg.bad_ix)
+    assert np.all(np.asarray(ixb)[~valid] == cfg.bad_ix)

@@ -149,6 +149,137 @@ def _probe_range(suffixes: np.ndarray, ixs: np.ndarray, q: int):
     return int(ixs[p]) if int(suffixes[p]) == q else None
 
 
+def _rc64(w: np.ndarray) -> np.ndarray:
+    """uint64 reverse complement of 32-mers: complement 2-bit codes (A<->T,
+    C<->G under the 2-bit encoding is bitwise NOT) then reverse base order
+    (arithmetic form of the RC table, itree.c:93-95,891-897)."""
+    x = ~w
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    m8 = np.uint64(0x00FF00FF00FF00FF)
+    m16 = np.uint64(0x0000FFFF0000FFFF)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = ((x & m8) << np.uint64(8)) | ((x >> np.uint64(8)) & m8)
+    x = ((x & m16) << np.uint64(16)) | ((x >> np.uint64(16)) & m16)
+    return (x << np.uint64(32)) | (x >> np.uint64(32))
+
+
+@dataclasses.dataclass
+class CanonicalHashArrays:
+    """Canonical-kmer dual-value hash table: ONE row gather per query position
+    answers both strands.
+
+    Per scanned position the reference collects hits for the forward word f
+    and (with RC) for rc(f) (itree.c:891-897,928-932).  As a multiset,
+    {ix(f), ix(rc(f))} == {ix(c), ix(rc(c))} where c = min(f, rc(f)) — so an
+    entry keyed on the canonical word storing BOTH orientation values yields
+    the exact reference hit multiset with half the lookups.  Orientation
+    (f <= rc(f)) recovers the forward-only hit for non-RC search.
+
+    Entry = (key_lo, key_hi, vals) int32 where vals = (ix_fwd+1) | (ix_rc+1)<<16
+    (0 half = that orientation is a miss; an all-zero vals marks an empty
+    slot, which is unambiguous because a value-less entry is never inserted).
+    Values are derived from the reference probe's own results, quirks
+    included (see _reference_hits).  t1 rows are `slots` entries; overflow
+    lives in t2 (differently mixed), sized to stay small enough for the
+    on-chip gather fast path."""
+
+    t1: np.ndarray  # int32 (B1, slots*3)
+    t2: np.ndarray  # int32 (B2, slots2*3)
+    slots: int
+    slots2: int
+    num_entries: int
+
+    def device_put(self):
+        import jax
+
+        return {"c1": jax.device_put(self.t1), "c2": jax.device_put(self.t2)}
+
+
+def build_canonical_hash_index(
+    index: DeviceIndexArrays, slots: int = 4, load: float = 0.3, slots2: int = 8
+) -> CanonicalHashArrays:
+    cfg = index.config
+    if cfg.packsize != 32:
+        raise ValueError("canonical hash path implements k=32")
+    pre, hi, lo, ix = _reference_hits(index)
+    if len(ix) and int(ix.max()) + 1 >= 1 << 16:
+        raise ValueError("canonical hash path requires label ids < 65535")
+    w = (
+        (pre.astype(np.uint64) << np.uint64(40))
+        | (hi.astype(np.uint64) << np.uint64(32))
+        | lo.astype(np.uint64)
+    )
+    r = _rc64(w)
+    c = np.minimum(w, r)
+    is_fwd = w == c
+    order = np.argsort(c, kind="stable")
+    cs = c[order]
+    isf = is_fwd[order]
+    ixs = ix[order].astype(np.uint32)
+    new = np.ones(len(cs), bool)
+    if len(cs) > 1:
+        new[1:] = cs[1:] != cs[:-1]
+    gid = np.cumsum(new) - 1
+    ng = int(gid[-1]) + 1 if len(cs) else 0
+    va = np.zeros(ng, np.uint32)
+    vb = np.zeros(ng, np.uint32)
+    va[gid[isf]] = ixs[isf] + np.uint32(1)
+    vb[gid[~isf]] = ixs[~isf] + np.uint32(1)
+    ck = cs[new]
+    pal = ck == _rc64(ck)  # palindromic 32-mer: one word, hit on both scans
+    vb[pal] = va[pal]
+    vals = (va | (vb << np.uint32(16))).view(np.int32)
+    key_lo = (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    key_hi = (ck >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    cpre = (ck >> np.uint64(40)).astype(np.int64)
+    chi = ((ck >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
+    bucket = (_mix_np(cpre, chi, clo) & np.uint32(b1 - 1)).astype(np.int64)
+    t1 = np.zeros((b1, slots * 3), np.int32)
+    sb_order = np.argsort(bucket, kind="stable")
+    sb = bucket[sb_order]
+    nw = np.ones(len(sb), bool)
+    if len(sb) > 1:
+        nw[1:] = sb[1:] != sb[:-1]
+    grp_start = np.maximum.accumulate(np.where(nw, np.arange(len(sb)), 0))
+    pos_in = np.arange(len(sb)) - grp_start
+    fits = pos_in < slots
+    rows = sb[fits]
+    cols = pos_in[fits]
+    src = sb_order[fits]
+    t1[rows, cols * 3] = key_lo[src]
+    t1[rows, cols * 3 + 1] = key_hi[src]
+    t1[rows, cols * 3 + 2] = vals[src]
+    spill = sb_order[~fits]
+
+    h2 = _mix_np(cpre[spill], chi[spill], clo[spill] ^ np.int64(0x5BD1E995))
+    b2 = max(8, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, (3 * slots2) // 4))))))
+    while True:
+        bucket2 = (h2 & np.uint32(b2 - 1)).astype(np.int64)
+        order2 = np.argsort(bucket2, kind="stable")
+        sb2 = bucket2[order2]
+        new2 = np.ones(len(sb2), bool)
+        if len(sb2) > 1:
+            new2[1:] = sb2[1:] != sb2[:-1]
+        grp2 = np.maximum.accumulate(np.where(new2, np.arange(len(sb2)), 0))
+        pos2 = np.arange(len(sb2)) - grp2
+        if len(pos2) == 0 or int(pos2.max()) < slots2:
+            break
+        b2 *= 2
+        if b2 > max(8, 2 * b1):
+            raise RuntimeError("canonical spill table overflow")
+    t2 = np.zeros((b2, slots2 * 3), np.int32)
+    src2 = spill[order2]
+    t2[sb2, pos2 * 3] = key_lo[src2]
+    t2[sb2, pos2 * 3 + 1] = key_hi[src2]
+    t2[sb2, pos2 * 3 + 2] = vals[src2]
+    return CanonicalHashArrays(t1=t1, t2=t2, slots=slots, slots2=slots2, num_entries=ng)
+
+
 def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4) -> HashIndexArrays:
     pre, hi, lo, ix = _reference_hits(index)
     n = len(ix)

@@ -228,12 +228,69 @@ def lookup_kmers_hash(hash_table: dict, qpre, qhi, qlo, valid, *, slots: int, ba
         return found, ix
 
     h1 = _mix_jnp(qpre, qhi, qlo)
-    f1, ix1 = probe(t1, (h1 & jnp.uint32(b1 - 1)).astype(jnp.int32))
+    # invalid windows probe bucket 0 (served from on-chip cache, not HBM)
+    f1, ix1 = probe(t1, jnp.where(valid, (h1 & jnp.uint32(b1 - 1)).astype(jnp.int32), 0))
     lo2 = qlo.astype(jnp.uint32) ^ jnp.uint32(0x5BD1E995)
     h2 = _mix_jnp(qpre, qhi, lo2)
-    f2, ix2 = probe(t2, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32))
+    f2, ix2 = probe(t2, jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0))
     out = jnp.where(f1, ix1, jnp.where(f2, ix2, bad_ix))
     return jnp.where(valid, out, bad_ix)
+
+
+def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
+                           slots: int, slots2: int, bad_ix: int, do_rc: bool):
+    """Canonical dual-value hash lookup (see hash_index.CanonicalHashArrays):
+    ONE t1 row gather per position answers both strands.
+
+    With do_rc returns (ix_fwd_or_rc_a, ix_b): two (B, W) int32 matrices whose
+    concatenation is the exact reference hit multiset of the fwd+RC scan.
+    Without RC returns one matrix of forward-strand hits only."""
+    t1, t2 = tables["c1"], tables["c2"]
+    b1, b2 = t1.shape[0], t2.shape[0]
+
+    lo_u = qlo.astype(jnp.uint32)
+    fwd_hi32 = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
+    rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+    rc_hi32 = (rpre.astype(jnp.uint32) << jnp.uint32(8)) | rhi.astype(jnp.uint32)
+    rlo_u = rlo.astype(jnp.uint32)
+    fwd_le = (fwd_hi32 < rc_hi32) | ((fwd_hi32 == rc_hi32) & (lo_u <= rlo_u))
+    c_hi32 = jnp.where(fwd_le, fwd_hi32, rc_hi32)
+    c_lo = jnp.where(fwd_le, lo_u, rlo_u)
+    key_lo = jax.lax.bitcast_convert_type(c_lo, jnp.int32)
+    key_hi = jax.lax.bitcast_convert_type(c_hi32, jnp.int32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    def probe(table, bucket, nslots):
+        rows = table[bucket]
+        val = jnp.zeros(bucket.shape, jnp.int32)
+        for s in range(nslots):
+            m = (
+                (rows[..., s * 3] == key_lo)
+                & (rows[..., s * 3 + 1] == key_hi)
+                & (rows[..., s * 3 + 2] != 0)
+            )
+            val = jnp.where(m, rows[..., s * 3 + 2], val)
+        return val
+
+    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
+    # invalid windows probe bucket 0: the gather engine serves the repeated
+    # row from on-chip cache instead of a random HBM touch
+    bkt1 = jnp.where(valid, (h1 & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
+    val = probe(t1, bkt1, slots)
+    h2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x5BD1E995))
+    bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
+    val2 = probe(t2, bkt2, slots2)
+    val = jnp.where(val != 0, val, val2)
+    vu = jax.lax.bitcast_convert_type(val, jnp.uint32)
+    va = (vu & jnp.uint32(0xFFFF)).astype(jnp.int32) - 1  # ix of canonical word
+    vb = (vu >> jnp.uint32(16)).astype(jnp.int32) - 1  # ix of its RC
+    if do_rc:
+        ix_a = jnp.where(valid & (va >= 0), va, bad_ix)
+        ix_b = jnp.where(valid & (vb >= 0), vb, bad_ix)
+        return ix_a, ix_b
+    fwd = jnp.where(fwd_le, va, vb)
+    return jnp.where(valid & (fwd >= 0), fwd, bad_ix)
 
 
 def window_lanes(reads_u8: jax.Array, lengths: jax.Array, k: int, do_rc: bool):
@@ -256,8 +313,15 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
                 k: int, do_rc: bool, probe_iters: int, bad_ix: int,
                 hash_slots: int = 8):
     """Full device step: ASCII reads -> per-window label ids (bad_ix = miss).
-    Dispatches to the hash path when `table` holds hash buckets ("t1").
-    RC words are derived arithmetically from the forward lanes (k=32)."""
+    Dispatches to the canonical path ("c1": one probe answers both strands)
+    or the hash path ("t1"); RC words otherwise derive arithmetically from
+    the forward lanes (k=32)."""
+    if "c1" in table and k == 32:
+        codes = base_codes(reads_u8, lengths)
+        qpre, qhi, qlo, valid = extract_windows(codes, k)
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=4,
+                                   slots2=8, bad_ix=bad_ix, do_rc=do_rc)
+        return jnp.concatenate(r, axis=1) if do_rc else r
     qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
     if "t1" in table:
         return lookup_kmers_hash(table, qpre, qhi, qlo, valid,
@@ -330,18 +394,23 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
     chunked long-read path) and num_labels < 2^16-1."""
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
-    if do_rc:
-        if k != 32:
-            raise NotImplementedError("packed path implements k=32")
-        rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
-        qpre = jnp.concatenate([qpre, rpre], axis=1)
-        qhi = jnp.concatenate([qhi, rhi], axis=1)
-        qlo = jnp.concatenate([qlo, rlo], axis=1)
-        valid = jnp.concatenate([valid, valid], axis=1)
-    if "t1" in table:
-        ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
+    if "c1" in table:  # canonical: both strands from one probe per position
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=4,
+                                   slots2=8, bad_ix=bad_ix, do_rc=do_rc)
+        ix = jnp.concatenate(r, axis=1) if do_rc else r
     else:
-        ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+        if do_rc:
+            if k != 32:
+                raise NotImplementedError("packed path implements k=32")
+            rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+            qpre = jnp.concatenate([qpre, rpre], axis=1)
+            qhi = jnp.concatenate([qhi, rhi], axis=1)
+            qlo = jnp.concatenate([qlo, rlo], axis=1)
+            valid = jnp.concatenate([valid, valid], axis=1)
+        if "t1" in table:
+            ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
+        else:
+            ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
     labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
     lc = (labels + 1) | (counts << 16)
     tail = nuniq | (found << 5)

@@ -56,10 +56,14 @@ class SearchPipeline:
     def __post_init__(self):
         cfg = self.index.config
         if self._table is None:
-            use_hash = self.lookup_mode == "hash" or (
+            use_hash = self.lookup_mode in ("hash", "canonical") or (
                 self.lookup_mode == "auto" and self.index.num_records < 300_000_000
             )
-            if use_hash:
+            if use_hash and cfg.packsize == 32 and self.index.num_labels < 0xFFFF:
+                from utree_tpu.hash_index import build_canonical_hash_index
+
+                self._table = build_canonical_hash_index(self.index).device_put()
+            elif use_hash:
                 from utree_tpu.hash_index import build_hash_index
 
                 self._table = build_hash_index(self.index).device_put()
