@@ -92,17 +92,18 @@ def _canonical_case(words, ixs, nlab, queries, valid=None):
     rc = _rc64(queries)
     rpre, rhi, rlo = _lanes(rc)
     ref_r = np.asarray(lookup_kmers(bs, rpre, rhi, rlo, valid, index.probe_iters, cfg.bad_ix))
-    ch = build_canonical_hash_index(index).device_put()
-    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4, slots2=8,
-                                      bad_ix=cfg.bad_ix, do_rc=True)
+    built = build_canonical_hash_index(index)
+    ch = built.device_put()
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                      slots2=built.slots2, bad_ix=cfg.bad_ix, do_rc=True)
     ixa, ixb = np.asarray(ixa), np.asarray(ixb)
     # per-position hit multiset must match {lookup(f), lookup(rc f)}
     got = np.sort(np.stack([ixa, ixb]), axis=0)
     want = np.sort(np.stack([ref_f, ref_r]), axis=0)
     assert np.array_equal(got, want)
     # non-RC variant returns exactly the forward-strand result
-    fwd = np.asarray(lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4,
-                                            slots2=8, bad_ix=cfg.bad_ix, do_rc=False))
+    fwd = np.asarray(lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                            slots2=built.slots2, bad_ix=cfg.bad_ix, do_rc=False))
     assert np.array_equal(fwd, ref_f)
     return ref_f, ref_r
 
@@ -147,9 +148,10 @@ def test_canonical_invalid_windows_masked():
     valid = rng.random(len(q)) < 0.5
     cfg = UTreeConfig()
     index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(30)], cfg)
-    ch = build_canonical_hash_index(index).device_put()
+    built = build_canonical_hash_index(index)
+    ch = built.device_put()
     qpre, qhi, qlo = _lanes(q)
-    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=4, slots2=8,
-                                      bad_ix=cfg.bad_ix, do_rc=True)
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                      slots2=built.slots2, bad_ix=cfg.bad_ix, do_rc=True)
     assert np.all(np.asarray(ixa)[~valid] == cfg.bad_ix)
     assert np.all(np.asarray(ixb)[~valid] == cfg.bad_ix)

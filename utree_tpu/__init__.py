@@ -16,6 +16,21 @@ A from-scratch reimplementation of the capabilities of knights-lab/UTree
   reference's single-node OpenMP (itree.c:1009, xtree.c:1012).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the search step's first compile includes
+# minutes of backend autotuning per (batch, length-bucket) shape; caching it
+# across processes turns every later startup into a sub-second cache hit.
+# Respect an explicit user setting; disable with UTREE_TPU_NO_JIT_CACHE=1.
+if (
+    "JAX_COMPILATION_CACHE_DIR" not in _os.environ
+    and not _os.environ.get("UTREE_TPU_NO_JIT_CACHE")
+):
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "utree_tpu", "xla"
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from utree_tpu.config import UTreeConfig
 from utree_tpu.taxonomy import LabelTable
 

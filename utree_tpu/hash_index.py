@@ -33,6 +33,26 @@ _M1 = np.uint32(0x9E3779B1)
 _M2 = np.uint32(0x85EBCA6B)
 _M3 = np.uint32(0xC2B2AE35)
 
+# canonical-table geometry, shared by builder (here) and device probe
+# (lookup.lookup_kmers_canonical).  TPU gather cost is quantized by 32-byte
+# sectors (measured, v5e: rows <= 8 int32 cols gather at 17.7ns, 9-16 cols at
+# 25.3ns, independent of table size) — so t1 rows are 2 slots = 24B, and the
+# builder doubles t1 until the Poisson tail past 2 slots fits the tiny-spill
+# budget below.
+CANON_SLOTS = 2
+CANON_LOAD = 0.3  # per-slot; bucket lambda = slots * load
+# t2 rows are WIDE (16 slots): the table is cache-resident so row width is
+# nearly free, and a 16-slot bucket at lambda <= ~7 has a vanishing overflow
+# tail — one single probe, no growth spiral
+CANON_SLOTS2 = 16
+# Spill must stay TINY: t2's own fit-growth loop multiplies its size by the
+# Poisson tail, and a t2 past the on-chip cache adds a full-price second HBM
+# gather to every lookup.  1MB of spill entries keeps t2 well under ~4MB
+# after growth.  t1 is capped at 8GB (v5e HBM is 16GB); builds that cannot
+# satisfy both raise, and the pipeline falls back to the bsearch path.
+_CANON_T2_BUDGET = (1 << 20) + (1 << 18)  # 1.25MB of entries -> t2 <= ~1.5MB
+_CANON_T1_CAP = 8 << 30
+
 
 def _mix_np(pre: np.ndarray, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     """Deterministic 32-bit mix of the (pre24, hi8, lo32) word lanes; the jnp
@@ -198,7 +218,10 @@ class CanonicalHashArrays:
 
 
 def build_canonical_hash_index(
-    index: DeviceIndexArrays, slots: int = 4, load: float = 0.3, slots2: int = 8
+    index: DeviceIndexArrays,
+    slots: int = CANON_SLOTS,
+    load: float = CANON_LOAD,
+    slots2: int = CANON_SLOTS2,
 ) -> CanonicalHashArrays:
     cfg = index.config
     if cfg.packsize != 32:
@@ -238,16 +261,32 @@ def build_canonical_hash_index(
     clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.int64)
 
     b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
-    bucket = (_mix_np(cpre, chi, clo) & np.uint32(b1 - 1)).astype(np.int64)
+    # bucket hash folds TWO independent 32-bit mixes: a single 32-bit hash
+    # has ~n^2/2^33 birthday-colliding pairs (46K at 20M keys) that no table
+    # growth can separate; the fold makes residual pair collisions scale with
+    # 1/b1 instead
+    h1 = _mix_np(cpre, chi, clo)
+    hb = _mix_np(cpre, chi, clo ^ np.int64(0x6A09E667))
+    g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
+    # grow t1 until the spill fits the cached-t2 budget (HBM-resident spill
+    # would add a full-cost second gather to EVERY lookup)
+    while True:
+        bucket = (g & np.uint32(b1 - 1)).astype(np.int64)
+        sb_order = np.argsort(bucket, kind="stable")
+        sb = bucket[sb_order]
+        nw = np.ones(len(sb), bool)
+        if len(sb) > 1:
+            nw[1:] = sb[1:] != sb[:-1]
+        grp_start = np.maximum.accumulate(np.where(nw, np.arange(len(sb)), 0))
+        pos_in = np.arange(len(sb)) - grp_start
+        fits = pos_in < slots
+        n_spill = int((~fits).sum())
+        if n_spill * 12 <= _CANON_T2_BUDGET:
+            break
+        if b1 * slots * 12 * 2 > _CANON_T1_CAP:
+            raise ValueError("canonical table would exceed the HBM budget")
+        b1 *= 2
     t1 = np.zeros((b1, slots * 3), np.int32)
-    sb_order = np.argsort(bucket, kind="stable")
-    sb = bucket[sb_order]
-    nw = np.ones(len(sb), bool)
-    if len(sb) > 1:
-        nw[1:] = sb[1:] != sb[:-1]
-    grp_start = np.maximum.accumulate(np.where(nw, np.arange(len(sb)), 0))
-    pos_in = np.arange(len(sb)) - grp_start
-    fits = pos_in < slots
     rows = sb[fits]
     cols = pos_in[fits]
     src = sb_order[fits]
@@ -256,8 +295,11 @@ def build_canonical_hash_index(
     t1[rows, cols * 3 + 2] = vals[src]
     spill = sb_order[~fits]
 
+    if len(spill) == 0:
+        t2 = np.zeros((8, slots2 * 3), np.int32)  # shape<=8 rows: probe skipped
+        return CanonicalHashArrays(t1=t1, t2=t2, slots=slots, slots2=slots2, num_entries=ng)
     h2 = _mix_np(cpre[spill], chi[spill], clo[spill] ^ np.int64(0x5BD1E995))
-    b2 = max(8, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, (3 * slots2) // 4))))))
+    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 // 2))))))
     while True:
         bucket2 = (h2 & np.uint32(b2 - 1)).astype(np.int64)
         order2 = np.argsort(bucket2, kind="stable")
@@ -270,7 +312,7 @@ def build_canonical_hash_index(
         if len(pos2) == 0 or int(pos2.max()) < slots2:
             break
         b2 *= 2
-        if b2 > max(8, 2 * b1):
+        if b2 > max(16, 2 * b1):
             raise RuntimeError("canonical spill table overflow")
     t2 = np.zeros((b2, slots2 * 3), np.int32)
     src2 = spill[order2]

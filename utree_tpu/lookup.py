@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from utree_tpu.hash_index import CANON_SLOTS, CANON_SLOTS2
+
 # device-side base-code table: A=0 C=1 G=2 T=3, INVALID=4 (compact for device)
 DINVALID = 4
 _DEV_CODE = np.full(256, DINVALID, dtype=np.int32)
@@ -247,6 +249,10 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     Without RC returns one matrix of forward-strand hits only."""
     t1, t2 = tables["c1"], tables["c2"]
     b1, b2 = t1.shape[0], t2.shape[0]
+    # jnp silently CLAMPS static out-of-bounds column indices, so a slot
+    # mismatch would mis-probe instead of erroring — reject it here
+    if t1.shape[1] != slots * 3 or t2.shape[1] != slots2 * 3:
+        raise ValueError("slot count does not match table geometry")
 
     lo_u = qlo.astype(jnp.uint32)
     fwd_hi32 = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
@@ -273,15 +279,19 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
             val = jnp.where(m, rows[..., s * 3 + 2], val)
         return val
 
+    # folded two-mix bucket hash (must mirror hash_index exactly): a single
+    # 32-bit mix leaves birthday-colliding key pairs no table growth can split
     h1 = _mix_jnp(c_pre, c_hi8, c_lo)
+    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
+    g = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
     # invalid windows probe bucket 0: the gather engine serves the repeated
     # row from on-chip cache instead of a random HBM touch
-    bkt1 = jnp.where(valid, (h1 & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
+    bkt1 = jnp.where(valid, (g & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
     val = probe(t1, bkt1, slots)
-    h2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x5BD1E995))
-    bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
-    val2 = probe(t2, bkt2, slots2)
-    val = jnp.where(val != 0, val, val2)
+    if b2 > 8:  # spill probe (t2 is cache-resident: ~5.5ns)
+        h2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x5BD1E995))
+        bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
+        val = jnp.where(val != 0, val, probe(t2, bkt2, slots2))
     vu = jax.lax.bitcast_convert_type(val, jnp.uint32)
     va = (vu & jnp.uint32(0xFFFF)).astype(jnp.int32) - 1  # ix of canonical word
     vb = (vu >> jnp.uint32(16)).astype(jnp.int32) - 1  # ix of its RC
@@ -319,8 +329,8 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
     if "c1" in table and k == 32:
         codes = base_codes(reads_u8, lengths)
         qpre, qhi, qlo, valid = extract_windows(codes, k)
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=4,
-                                   slots2=8, bad_ix=bad_ix, do_rc=do_rc)
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=CANON_SLOTS,
+                                   slots2=CANON_SLOTS2, bad_ix=bad_ix, do_rc=do_rc)
         return jnp.concatenate(r, axis=1) if do_rc else r
     qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
     if "t1" in table:
@@ -395,8 +405,8 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     if "c1" in table:  # canonical: both strands from one probe per position
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=4,
-                                   slots2=8, bad_ix=bad_ix, do_rc=do_rc)
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=CANON_SLOTS,
+                                   slots2=CANON_SLOTS2, bad_ix=bad_ix, do_rc=do_rc)
         ix = jnp.concatenate(r, axis=1) if do_rc else r
     else:
         if do_rc:
