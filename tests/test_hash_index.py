@@ -155,3 +155,32 @@ def test_canonical_invalid_windows_masked():
                                       slots2=built.slots2, bad_ix=cfg.bad_ix, do_rc=True)
     assert np.all(np.asarray(ixa)[~valid] == cfg.bad_ix)
     assert np.all(np.asarray(ixb)[~valid] == cfg.bad_ix)
+
+
+def test_canonical_spill_paths(monkeypatch):
+    """Force t1 growth + a populated wide-row t2 with a tiny spill budget,
+    and check exactness end to end (this regime hid three real bugs: spill
+    overflow at scale, the growth spiral, and out-of-cache t2)."""
+    import utree_tpu.hash_index as H
+
+    monkeypatch.setattr(H, "_CANON_T2_BUDGET", 256)  # ~21 entries allowed
+    rng = np.random.default_rng(6)
+    words = np.unique(rng.integers(0, 1 << 64, size=30_000, dtype=np.uint64))
+    ixs = rng.integers(0, 50, size=len(words)).astype(np.int64)
+    q = np.concatenate([rng.choice(words, 3000),
+                        rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)])
+    _canonical_case(words, ixs, 50, q)
+
+
+def test_canonical_no_spill_skips_t2():
+    """A tiny build has no spill; t2 must be the 8-row sentinel (the probe is
+    statically skipped)."""
+    rng = np.random.default_rng(7)
+    words = np.unique(rng.integers(0, 1 << 64, size=12, dtype=np.uint64))
+    ixs = rng.integers(0, 5, size=len(words)).astype(np.int64)
+    cfg = UTreeConfig()
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(5)], cfg)
+    built = build_canonical_hash_index(index)
+    assert built.t2.shape[0] == 8
+    q = np.concatenate([words, rng.integers(0, 1 << 64, size=200, dtype=np.uint64)])
+    _canonical_case(words, ixs, 5, q)
