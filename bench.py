@@ -26,7 +26,7 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     num_kmers = int(os.environ.get("BENCH_KMERS", 20_000_000))
-    num_reads = int(os.environ.get("BENCH_READS", 400_000))
+    num_reads = int(os.environ.get("BENCH_READS", 786_432))  # 12 batches: steady state dominates ramp
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
     batch = int(os.environ.get("BENCH_BATCH", 65536))
     num_reads = max(batch, (num_reads // batch) * batch)  # one jit shape

@@ -56,3 +56,27 @@ def test_count_semicolons():
     assert count_semicolons(full) == 7
     # blank last rank: no bump
     assert count_semicolons(b"k__a;p__b;c__c;o__d;f__e;g__f;s__") == 6
+
+
+def test_aufbau_support_ranges_8col():
+    """The README-documented 8-pair variant (reconstructed from the
+    commented-out arrays, itree.c:1045,1097): first five columns must equal
+    the reference-binary format, followed by 7 more SUPPORT;RANGE pairs."""
+    from utree_tpu.classify import aufbau_vote
+
+    strings = [
+        b"k__a;p__b;c__c;o__d;f__e;g__f;s__g;t__h",
+        b"k__a;p__b;c__c;o__d;f__e;g__f;s__g;t__i",
+        b"k__a;p__b;c__zz;o__d;f__e;g__f;s__g;t__j",
+    ]
+    hits = [0] * 6 + [1] * 3 + [2] * 1
+    one = aufbau_vote(b"q1", hits, strings)
+    eight = aufbau_vote(b"q1", hits, strings, support_ranges=8)
+    assert eight.startswith(one)
+    extra = eight[len(one):].split(b"\t")[1:]
+    assert len(extra) == 7
+    assert all(b";" in p for p in extra)
+    # levels actually descended carry non-zero support
+    assert extra[0] != b"0;0"
+    # single-label reads keep the reference's '*' line shape in both modes
+    assert aufbau_vote(b"q2", [1], strings, support_ranges=8) == aufbau_vote(b"q2", [1], strings)

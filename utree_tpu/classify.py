@@ -28,6 +28,7 @@ def aufbau_vote(
     hit_ixs: list[int] | np.ndarray,
     strings: list[bytes],
     taxacut: int = 4,
+    support_ranges: int = 1,
 ) -> bytes | None:
     """One read's output line (without trailing newline), or None if no hits.
 
@@ -40,7 +41,7 @@ def aufbau_vote(
         return None
     counts = np.bincount(np.asarray(hit_ixs, dtype=np.int64))
     nz = np.flatnonzero(counts)
-    return aufbau_vote_counts(name, nz, counts[nz], strings, taxacut)
+    return aufbau_vote_counts(name, nz, counts[nz], strings, taxacut, support_ranges)
 
 
 def aufbau_vote_counts(
@@ -49,8 +50,15 @@ def aufbau_vote_counts(
     counts: np.ndarray,
     strings: list[bytes],
     taxacut: int = 4,
+    support_ranges: int = 1,
 ) -> bytes | None:
-    """aufbau_vote from a precomputed per-read histogram (device pipeline path)."""
+    """aufbau_vote from a precomputed per-read histogram (device pipeline path).
+
+    support_ranges=1 matches the reference BINARY (one SUPPORT;RANGE pair,
+    itree.c:1096).  support_ranges=8 is the variant the reference READMEs
+    document (README.md:21-22) but whose code survives only commented out
+    (`sl[INT16_MAX+1], ol[8]`, itree.c:1045,1097): per-level pairs for ranks
+    0..7, zero for levels the walk never reached."""
     if len(uniq_ixs) == 0:
         return None
     found_uniq = int(np.sum(counts))
@@ -61,11 +69,15 @@ def aufbau_vote_counts(
     # Tax_Cnt sorted by label string (byStr/qsort, itree.c:1041)
     tax_cnt = sorted(((strings[int(i)], int(c)) for i, c in zip(uniq_ixs, counts)), key=lambda t: t[0])
     uix = len(tax_cnt)
-    toprint, sl, ol = _aufbau_walk(tax_cnt, found_uniq, taxacut)
-    return (
+    toprint, sl, ol, levels = _aufbau_walk(tax_cnt, found_uniq, taxacut)
+    line = (
         name + b"\t" + toprint + b"\t" + str(found_uniq).encode() + b"\t"
         + str(uix).encode() + b"\t" + str(sl).encode() + b";" + str(ol).encode()
     )
+    if support_ranges == 8:
+        for s, o in levels[1:8]:
+            line += b"\t" + str(s).encode() + b";" + str(o).encode()
+    return line
 
 
 def _cstr(s: bytes, i: int) -> int:
@@ -76,7 +88,9 @@ def _cstr(s: bytes, i: int) -> int:
 def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int):
     """The level-descent loop, itree.c:1044-1096.  All counters are uint32 in
     the reference; dv uses the wrapped values -1 -> 0xFFFFFFFF, -2 -> 0xFFFFFFFE.
-    Returns (toPrint, sl, ol)."""
+    Returns (toPrint, sl, ol, levels) where levels[i] = the (sl, ol) pair
+    recorded at rank depth i (the commented-out per-level arrays,
+    itree.c:1045,1083,1097; index clamped to 7)."""
     dv_m1 = U32  # (uint32_t)-1
     dv_m2 = U32 - 1  # (uint32_t)-2
     uix = len(tax_cnt)
@@ -87,6 +101,7 @@ def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int
     dv = dv_m1
     orun = found_uniq
     sl = ol = 0
+    levels = [(0, 0)] * 8
     while True:
         run = tax_cnt[st][1]
         td = dv
@@ -128,6 +143,7 @@ def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int
                 run = tax_cnt[z][1]
                 st = z
         sl, ol = run, orun
+        levels[min(lv, 7)] = (run, orun)
         if run < cutoff:
             break
         if st + 1 >= ed:
@@ -137,6 +153,7 @@ def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int
         if _cstr(tax_cnt[ed - 1][0], td) == 0 or _cstr(tax_cnt[ed - 1][0], td) == 0x3B:
             lv += 1
             sl, ol = run, orun
+            levels[min(lv, 7)] = (run, orun)
         orun = run
         dv = td
         cutoff = run - run // taxacut
@@ -148,7 +165,7 @@ def _aufbau_walk(tax_cnt: list[tuple[bytes, int]], found_uniq: int, taxacut: int
         toprint = tax_cnt[ed - 1][0]
     else:
         toprint = tax_cnt[ed - 1][0][:dv]
-    return toprint, sl, ol
+    return toprint, sl, ol, levels
 
 
 class ShallowVoter:

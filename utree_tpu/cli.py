@@ -54,13 +54,15 @@ def _cmd_search(a):
         from utree_tpu.search_host import HostIndex, search_file
 
         idx = HostIndex.from_ctr(a.db, cfg)
-        n = search_file(idx, a.reads, a.out, do_rc=a.rc)
+        n = search_file(idx, a.reads, a.out, do_rc=a.rc,
+                        support_ranges=a.support_ranges)
     else:
         from utree_tpu.index import DeviceIndexArrays
         from utree_tpu.pipeline import SearchPipeline
 
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
-        pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch)
+        pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
+                              support_ranges=a.support_ranges)
         n = pipe.search_file(a.reads, a.out, resume=a.resume)
     print(f"Searched {n} queries -> {a.out}")
 
@@ -116,6 +118,10 @@ def main(argv=None):
     s.add_argument("--rc", action="store_true", help="also scan reverse complement")
     s.add_argument("--rank-specific", action="store_true", help="utree-search (non-GG) vote")
     s.add_argument("--host", action="store_true", help="host (NumPy) path instead of device")
+    s.add_argument("--support-ranges", dest="support_ranges", type=int, choices=(1, 8),
+                   default=1, help="SUPPORT;RANGE pairs per line: 1 = the reference "
+                   "binary's output (itree.c:1096), 8 = the README-documented "
+                   "per-rank variant (host vote)")
     s.add_argument("--batch", type=int, default=8192)
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")

@@ -61,6 +61,7 @@ class SearchPipeline:
     batch_size: int = 8192
     hist_cap: int = 16
     lookup_mode: str = "auto"  # "hash" | "bsearch" | "auto"
+    support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
     _table: dict = None
 
     use_native_vote: bool = True
@@ -85,7 +86,7 @@ class SearchPipeline:
             else:
                 self._table = self.index.device_put()
         self._vote_engine = None
-        if self.use_native_vote:
+        if self.use_native_vote and self.support_ranges == 1:
             from utree_tpu.native import VoteEngine
 
             eng = VoteEngine(self.index.strings, cfg.taxacut)
@@ -199,13 +200,15 @@ class SearchPipeline:
                 out.append(None)
             elif nu <= self.hist_cap:
                 out.append(
-                    aufbau_vote_counts(name, labels[i, :nu], counts[i, :nu], strings, taxacut)
+                    aufbau_vote_counts(name, labels[i, :nu], counts[i, :nu], strings,
+                                       taxacut, self.support_ranges)
                 )
             else:  # device cap overflow: recompute this read exactly on host
                 hits = self._host_hits(seqs[i])
                 cnt = np.bincount(hits)
                 nz = np.flatnonzero(cnt)
-                out.append(aufbau_vote_counts(name, nz, cnt[nz], strings, taxacut))
+                out.append(aufbau_vote_counts(name, nz, cnt[nz], strings, taxacut,
+                                              self.support_ranges))
         return out
 
     def classify_batch(self, names: list[bytes], seqs: list[bytes]) -> list[bytes | None]:
@@ -285,7 +288,8 @@ class SearchPipeline:
             return None
         ks = np.array(sorted(agg), np.int64)
         vs = np.array([agg[int(x)] for x in ks], np.int64)
-        return aufbau_vote_counts(name, ks, vs, self.index.strings, self.index.config.taxacut)
+        return aufbau_vote_counts(name, ks, vs, self.index.strings,
+                                  self.index.config.taxacut, self.support_ranges)
 
     # ---- streaming driver ----------------------------------------------------
 
