@@ -57,3 +57,95 @@ def test_search64_rc_identical(toy64, tmp_path):
     out = tmp_path / "cls_rc.txt"
     search_file(idx, str(wd / "reads.fa"), str(out), do_rc=True)
     assert out.read_bytes() == golden["classifications"].read_bytes()
+
+
+def test_device_canonical64_equals_host_lookup(toy64):
+    """Canonical64 hash: per-position {ix(f), ix(rc f)} must equal the host
+    probe replay on both strands, on the real built index."""
+    import numpy as np
+
+    from utree_tpu.hash_index64 import (
+        _rc128,
+        build_canonical_hash_index64,
+    )
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.lookup import lookup_kmers_canonical64
+    from utree_tpu.search_host import HostIndex as HI, lookup_words
+
+    wd = toy64["dir"]
+    index = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    hidx = HI.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    built = build_canonical_hash_index64(index)
+    tables = built.device_put()
+
+    rng = np.random.default_rng(79)
+    from utree_tpu.encode import W128, search_window_words
+
+    reads = toy64["dir"] / "reads.fa"
+    seqs = [l for l in reads.read_bytes().splitlines() if l and not l.startswith(b">")]
+    words_list = [search_window_words(s, 64, False) for s in seqs[:50]]
+    words = np.concatenate([w for w in words_list if len(w)])
+    rand = np.zeros(500, dtype=W128)
+    rand["hi"] = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    rand["lo"] = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    words = np.concatenate([words, rand])
+
+    ref_f = lookup_words(hidx, words)
+    rc = np.zeros(len(words), dtype=W128)
+    rc["hi"], rc["lo"] = _rc128(words["hi"], words["lo"])
+    ref_r = lookup_words(hidx, rc)
+
+    k0 = ((words["hi"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k1 = ((words["hi"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    k2 = ((words["lo"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k3 = ((words["lo"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    valid = np.ones(len(words), bool)
+    miss = CFG64.bad_ix if CFG64.bad_ix < 2**31 else 2**31 - 1
+    ixa, ixb = lookup_kmers_canonical64(
+        tables, k0, k1, k2, k3, valid, slots=built.slots, slots2=built.slots2,
+        miss=miss, do_rc=True)
+    nl = index.num_labels
+    fa = np.where(np.asarray(ixa) < nl, np.asarray(ixa), -1)
+    fb = np.where(np.asarray(ixb) < nl, np.asarray(ixb), -1)
+    wf = np.where(ref_f < nl, ref_f, -1)
+    wr = np.where(ref_r < nl, ref_r, -1)
+    got = np.sort(np.stack([fa, fb]), axis=0)
+    want = np.sort(np.stack([wf, wr]), axis=0)
+    assert np.array_equal(got, want)
+    # non-RC orientation select
+    fwd = np.asarray(lookup_kmers_canonical64(
+        tables, k0, k1, k2, k3, valid, slots=built.slots, slots2=built.slots2,
+        miss=miss, do_rc=False))
+    assert np.array_equal(np.where(fwd < nl, fwd, -1), wf)
+
+
+def test_device_pipeline64_matches_oracle(toy64, tmp_path):
+    """Full 64-mer device pipeline vs the reference binary (fwd and RC)."""
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.pipeline import SearchPipeline
+
+    wd = toy64["dir"]
+    idx = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    for rc, gold_key in ((False, "classifications"),):
+        pipe = SearchPipeline(idx, do_rc=rc, batch_size=64)
+        assert "c64_1" in pipe._table
+        out = tmp_path / f"cls64_{rc}.txt"
+        pipe.search_file(str(wd / "reads.fa"), str(out))
+        assert out.read_bytes() == toy64["golden"][gold_key].read_bytes()
+
+
+def test_device_pipeline64_rc_matches_oracle(toy64, tmp_path):
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.pipeline import SearchPipeline
+
+    wd = toy64["dir"]
+    golden_rc = run_oracle_pipeline(
+        str(wd / "refs.fa"), str(wd / "tax.map"), str(wd / "reads.fa"),
+        str(wd / "oracle_rc"), complevel=1, extra_defs=DEFS, suffix="-64",
+        do_rc=True,
+    )
+    idx = DeviceIndexArrays.from_ctr(str(golden_rc["ctr"]), CFG64)
+    pipe = SearchPipeline(idx, do_rc=True, batch_size=64)
+    out = tmp_path / "cls64_rc.txt"
+    pipe.search_file(str(wd / "reads.fa"), str(out))
+    assert out.read_bytes() == golden_rc["classifications"].read_bytes()

@@ -35,16 +35,16 @@ def _cmd_build(a):
 
 
 def _cmd_compress(a):
-    from utree_tpu.formats import write_ctr_from_ubt
+    from utree_tpu.formats import sniff_config, write_ctr_from_ubt
 
-    write_ctr_from_ubt(a.input, a.out)
+    write_ctr_from_ubt(a.input, a.out, sniff_config(a.input))
     print(f"Compressed {a.input} -> {a.out}")
 
 
 def _cmd_search(a):
-    from utree_tpu.config import UTreeConfig
+    from utree_tpu.formats import sniff_config
 
-    cfg = UTreeConfig()
+    cfg = sniff_config(a.db)
     if a.rank_specific:
         from utree_tpu.search_host import HostIndex, search_file_shallow
 

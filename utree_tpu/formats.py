@@ -105,6 +105,17 @@ def write_ubt(path: str, words: np.ndarray, ixs: np.ndarray, labels: list[bytes]
             of.write(lbl + b"\t" + str(int(cnt)).encode() + b"\n")
 
 
+def sniff_config(path: str) -> UTreeConfig:
+    """UTreeConfig from a .ubt/.ctr header (both start with u64
+    {sizeof(WTYPE), 0, sizeof(IXTYPE), numNodes}, itree.c:1317-1343) — the
+    equivalent of picking the right reference binary for a DB."""
+    with open(path, "rb") as fp:
+        wsz, _csz, isz, _n = struct.unpack("<4Q", fp.read(32))
+    if wsz * 4 not in (4, 8, 16, 32, 64) or isz not in (2, 4):
+        raise ValueError(f"unrecognized DB header: WTYPE={wsz}B IXTYPE={isz}B")
+    return UTreeConfig(packsize=wsz * 4, ixtype_bytes=isz)
+
+
 def read_ubt(path: str) -> UbtData:
     from utree_tpu.encode import W128
 

@@ -1,0 +1,214 @@
+"""Canonical dual-value hash index for PACKSIZE=64 (BASELINE config 4).
+
+Same design as hash_index.CanonicalHashArrays but for 128-bit words with
+4-byte label ids (itree.c:41-43 PACKSIZE=64 -> WTYPE=__uint128_t;
+IXTYPE=uint32_t): keys are four int32 lanes, entries are
+(k0, k1, k2, k3, va, vb) = 24B where va/vb = label+1 of the forward /
+reverse-complement orientation (0 = miss).  One t1 row = 2 entries = 48B
+(two gather sectors); t2 is the cache-resident wide-row spill table.
+
+Values derive from the reference probe's own results over the as-stored bin
+table (quirks included) — the 64-mer twin of hash_index._reference_hits,
+with 104-bit suffixes compared as (hi, lo) uint64 lane pairs exactly like
+xtSuffixBS compares full words (itree.c:699-718).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from utree_tpu.hash_index import _CANON_T1_CAP, _CANON_T2_BUDGET, _rc64
+from utree_tpu.index import DeviceIndexArrays
+
+CANON64_SLOTS = 2
+CANON64_LOAD = 0.3
+CANON64_SLOTS2 = 8
+
+_M1 = np.uint32(0x9E3779B1)
+_M2 = np.uint32(0x85EBCA6B)
+_M3 = np.uint32(0xC2B2AE35)
+
+
+def mix4(k0, k1, k2, k3, seed, u32):
+    """32-bit mix of four uint32 lanes; written lane-generic so the numpy
+    builder and the jnp probe (lookup.lookup_kmers_canonical64) share one
+    definition and stay bit-identical."""
+    h = (k0 ^ u32(seed)) * u32(int(_M1))
+    h = h ^ (h >> u32(16))
+    h = h + k1 * u32(int(_M3))
+    h = h * u32(int(_M2))
+    h = h ^ (h >> u32(13))
+    h = h ^ k2 * u32(int(_M1))
+    h = h * u32(int(_M3))
+    h = h ^ (h >> u32(16))
+    h = h + k3 * u32(int(_M2))
+    h = h ^ (h >> u32(15))
+    return h
+
+
+def _mix4_np(k0, k1, k2, k3, seed):
+    with np.errstate(over="ignore"):
+        return mix4(k0.astype(np.uint32), k1.astype(np.uint32),
+                    k2.astype(np.uint32), k3.astype(np.uint32), seed, np.uint32)
+
+
+def _reference_hits64(index: DeviceIndexArrays):
+    """All (word_hi, word_lo, ix) the 64-mer reference probe can return."""
+    bin_ix = index.bin_ix.astype(np.int64)
+    s_hi = index.s_hi64
+    s_lo = index.s_lo64
+    ixv = index.ix.astype(np.int64)
+    n = len(s_hi)
+    starts = bin_ix[:-1]
+    ends = bin_ix[1:]
+    pop = np.flatnonzero(ends > starts)
+    # lexicographic (hi, lo) break scan, as in hash_index._reference_hits
+    breaks_cum = np.zeros(n + 1, np.int64)
+    if n > 1:
+        le = (s_hi[1:] < s_hi[:-1]) | ((s_hi[1:] == s_hi[:-1]) & (s_lo[1:] <= s_lo[:-1]))
+        np.cumsum(le, out=breaks_cum[2:])
+        breaks_cum[1] = 0
+    a_pop = starts[pop]
+    b_pop = ends[pop]
+    inner = breaks_cum[b_pop] - breaks_cum[np.minimum(a_pop + 1, b_pop)]
+    normal = inner == 0
+    npop = pop[normal]
+    lens = (b_pop - a_pop)[normal]
+    from utree_tpu.hash_index import _ranges_to_indices
+
+    idx = _ranges_to_indices(a_pop[normal], lens)
+    pre = np.repeat(npop, lens).astype(np.uint64)
+    out_hi = [(pre << np.uint64(40)) | s_hi[idx]]
+    out_lo = [s_lo[idx]]
+    out_ix = [ixv[idx]]
+    for p in pop[~normal]:
+        a, b = int(starts[p]), int(ends[p])
+        sufs = [(int(s_hi[j]) << 64) | int(s_lo[j]) for j in range(a, b)]
+        for q in sorted(set(sufs)):
+            pp, size = 0, len(sufs) - 1
+            while size:
+                w = size >> 1
+                if sufs[pp + w + 1] <= q:
+                    pp += w + 1
+                    size -= w + 1
+                else:
+                    size = w
+            if sufs[pp] == q:
+                w128 = (p << 104) | q
+                out_hi.append(np.array([w128 >> 64], np.uint64))
+                out_lo.append(np.array([w128 & ((1 << 64) - 1)], np.uint64))
+                out_ix.append(np.array([ixv[a + pp]], np.int64))
+    return (np.concatenate(out_hi), np.concatenate(out_lo), np.concatenate(out_ix))
+
+
+@dataclasses.dataclass
+class CanonicalHash64Arrays:
+    t1: np.ndarray  # int32 (B1, slots*6)
+    t2: np.ndarray  # int32 (B2, slots2*6)
+    slots: int
+    slots2: int
+    num_entries: int
+
+    def device_put(self):
+        import jax
+
+        return {"c64_1": jax.device_put(self.t1), "c64_2": jax.device_put(self.t2)}
+
+
+def _rc128(hi: np.ndarray, lo: np.ndarray):
+    """128-bit reverse complement on uint64 lane pairs: each half is
+    complement-reversed (hash_index._rc64) and the halves swap."""
+    return _rc64(lo), _rc64(hi)
+
+
+def _group_positions(bucket: np.ndarray):
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    nw = np.ones(len(sb), bool)
+    if len(sb) > 1:
+        nw[1:] = sb[1:] != sb[:-1]
+    grp = np.maximum.accumulate(np.where(nw, np.arange(len(sb)), 0))
+    pos = np.arange(len(sb)) - grp
+    return order, sb, pos
+
+
+def build_canonical_hash_index64(
+    index: DeviceIndexArrays,
+    slots: int = CANON64_SLOTS,
+    load: float = CANON64_LOAD,
+    slots2: int = CANON64_SLOTS2,
+) -> CanonicalHash64Arrays:
+    if index.config.packsize != 64 or index.s_hi64 is None:
+        raise ValueError("canonical64 requires a PACKSIZE=64 index")
+    w_hi, w_lo, ix = _reference_hits64(index)
+    if len(ix) and int(ix.max()) + 1 >= 1 << 31:
+        raise ValueError("label ids must fit int32")
+    r_hi, r_lo = _rc128(w_hi, w_lo)
+    fwd_le = (w_hi < r_hi) | ((w_hi == r_hi) & (w_lo <= r_lo))
+    c_hi = np.where(fwd_le, w_hi, r_hi)
+    c_lo = np.where(fwd_le, w_lo, r_lo)
+    is_fwd = fwd_le
+    order = np.lexsort((c_lo, c_hi))
+    chs, cls = c_hi[order], c_lo[order]
+    isf = is_fwd[order]
+    ixs = ix[order]
+    new = np.ones(len(chs), bool)
+    if len(chs) > 1:
+        new[1:] = (chs[1:] != chs[:-1]) | (cls[1:] != cls[:-1])
+    gid = np.cumsum(new) - 1
+    ng = int(gid[-1]) + 1 if len(chs) else 0
+    va = np.zeros(ng, np.int64)
+    vb = np.zeros(ng, np.int64)
+    va[gid[isf]] = ixs[isf] + 1
+    vb[gid[~isf]] = ixs[~isf] + 1
+    ck_hi = chs[new]
+    ck_lo = cls[new]
+    p_hi, p_lo = _rc128(ck_hi, ck_lo)
+    pal = (ck_hi == p_hi) & (ck_lo == p_lo)
+    vb[pal] = va[pal]
+
+    k0 = (ck_hi >> np.uint64(32)).astype(np.uint32)
+    k1 = (ck_hi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (ck_lo >> np.uint64(32)).astype(np.uint32)
+    k3 = (ck_lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lanes = [k0.view(np.int32), k1.view(np.int32), k2.view(np.int32), k3.view(np.int32),
+             va.astype(np.int32), vb.astype(np.int32)]
+
+    h1 = _mix4_np(k0, k1, k2, k3, 0)
+    hb = _mix4_np(k0, k1, k2, k3, 0x6A09E667)
+    with np.errstate(over="ignore"):
+        g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
+    b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
+    while True:
+        order1, sb, pos = _group_positions((g & np.uint32(b1 - 1)).astype(np.int64))
+        fits = pos < slots
+        if int((~fits).sum()) * 24 <= _CANON_T2_BUDGET:
+            break
+        if b1 * slots * 24 * 2 > _CANON_T1_CAP:
+            raise ValueError("canonical64 table would exceed the HBM budget")
+        b1 *= 2
+    t1 = np.zeros((b1, slots * 6), np.int32)
+    rows, cols, src = sb[fits], pos[fits], order1[fits]
+    for j, lane in enumerate(lanes):
+        t1[rows, cols * 6 + j] = lane[src]
+    spill = order1[~fits]
+
+    if len(spill) == 0:
+        t2 = np.zeros((8, slots2 * 6), np.int32)
+        return CanonicalHash64Arrays(t1, t2, slots, slots2, ng)
+    h2 = _mix4_np(k0[spill], k1[spill], k2[spill], k3[spill], 0x5BD1E995)
+    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 // 2))))))
+    while True:
+        order2, sb2, pos2 = _group_positions((h2 & np.uint32(b2 - 1)).astype(np.int64))
+        if len(pos2) == 0 or int(pos2.max()) < slots2:
+            break
+        b2 *= 2
+        if b2 > max(16, 2 * b1):
+            raise RuntimeError("canonical64 spill table overflow")
+    t2 = np.zeros((b2, slots2 * 6), np.int32)
+    src2 = spill[order2]
+    for j, lane in enumerate(lanes):
+        t2[sb2, pos2 * 6 + j] = lane[src2]
+    return CanonicalHash64Arrays(t1, t2, slots, slots2, ng)

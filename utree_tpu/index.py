@@ -41,9 +41,16 @@ class DeviceIndexArrays:
     semicolons: np.ndarray
     probe_iters: int
     config: UTreeConfig
+    # PACKSIZE=64 only: full 104-bit suffix lanes (hi = bits 103..64,
+    # lo = 63..0).  The 64-mer device path is the canonical hash
+    # (hash_index64); these lanes feed its builder and the host fallback.
+    s_hi64: np.ndarray | None = None
+    s_lo64: np.ndarray | None = None
 
     @property
     def num_records(self) -> int:
+        if self.s_hi64 is not None:
+            return len(self.s_hi64)
         return len(self.suf_lo)
 
     @property
@@ -62,12 +69,21 @@ class DeviceIndexArrays:
         """Straight from a BuildResult, skipping the .ubt/.ctr round-trip
         (bin table still uses the reference compressor's algorithm so lookups
         agree with a reference binary reading the equivalent .ctr)."""
+        from utree_tpu.encode import W128
+
         bin_ix = compute_bin_ix(words, config.word_bits, config.ctr_prefix_bits)
-        suffixes = np.asarray(words, dtype=np.uint64) & np.uint64(config.suffix_mask)
+        if words.dtype == W128:  # 104-bit suffix = (hi & 2^40-1, lo)
+            suffixes = np.zeros(len(words), dtype=W128)
+            suffixes["hi"] = words["hi"] & np.uint64((1 << 40) - 1)
+            suffixes["lo"] = words["lo"]
+        else:
+            suffixes = np.asarray(words, dtype=np.uint64) & np.uint64(config.suffix_mask)
         return cls._from_parts(bin_ix, suffixes, np.asarray(ixs, np.int64), list(labels), config)
 
     @classmethod
     def _from_parts(cls, bin_ix, suffixes, ixs, labels, config) -> "DeviceIndexArrays":
+        if suffixes.dtype.names:  # W128 (PACKSIZE=64)
+            return cls._from_parts64(bin_ix, suffixes, ixs, labels, config)
         n = len(suffixes)
         # pad with one sentinel record so clamped probes stay in bounds
         suf_hi = np.zeros(n + 1, dtype=np.int32)
@@ -90,6 +106,46 @@ class DeviceIndexArrays:
             semicolons=semis,
             probe_iters=probe_iters,
             config=config,
+        )
+
+    @classmethod
+    def _from_parts64(cls, bin_ix, suffixes, ixs, labels, config) -> "DeviceIndexArrays":
+        n = len(suffixes)
+        ranges = np.diff(bin_ix)
+        max_range = int(ranges.max()) if len(ranges) else 0
+        probe_iters = max(1, math.ceil(math.log2(max_range + 1))) if max_range > 0 else 1
+        semis = np.array([count_semicolons(s) for s in labels], dtype=np.uint8)
+        return cls(
+            bin_ix=bin_ix.astype(np.int64),
+            suf_hi=np.zeros(0, np.int32),  # 40-bit lanes do not apply at k=64
+            suf_lo=np.zeros(0, np.uint32),
+            ix=ixs.astype(np.int64),
+            strings=list(labels),
+            semicolons=semis,
+            probe_iters=probe_iters,
+            config=config,
+            s_hi64=suffixes["hi"].astype(np.uint64),
+            s_lo64=suffixes["lo"].astype(np.uint64),
+        )
+
+    def host_index(self):
+        """HostIndex view over the same records (exact host fallback path)."""
+        from utree_tpu.search_host import HostIndex
+
+        if self.s_hi64 is not None:
+            return HostIndex(self.bin_ix.astype(np.int64), self.s_hi64, self.s_lo64,
+                             self.ix.astype(np.int64), self.strings, self.semicolons,
+                             self.config)
+        n = self.num_records
+        return HostIndex(
+            self.bin_ix.astype(np.int64),
+            np.zeros(n, np.uint64),
+            (self.suf_hi[:n].astype(np.uint64) << np.uint64(32))
+            | self.suf_lo[:n].astype(np.uint64),
+            self.ix[:n].astype(np.int64),
+            self.strings,
+            self.semicolons,
+            self.config,
         )
 
     def packed_records(self, pad: int = 16) -> np.ndarray:

@@ -303,6 +303,97 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     return jnp.where(valid & (fwd >= 0), fwd, bad_ix)
 
 
+def extract_windows64(codes: jax.Array):
+    """Slide 64-mers: lanes (k0, k1, k2, k3) int32 MSB-first (k0 = bases
+    0..15, ..., k3 = bases 48..63) + validity.  Built by pairing the 32-mer
+    lanes at offsets i and i+32 — no second extraction pass."""
+    qpre, qhi, qlo, valid = extract_windows(codes, 32)
+    w = qpre.shape[1]
+    if w <= 32:
+        raise ValueError("reads shorter than 64 after padding")
+    w64 = w - 32
+    top = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
+    k0 = jax.lax.bitcast_convert_type(top[:, :w64], jnp.int32)
+    k1 = jax.lax.bitcast_convert_type(qlo[:, :w64].astype(jnp.uint32), jnp.int32)
+    k2 = jax.lax.bitcast_convert_type(top[:, 32:], jnp.int32)
+    k3 = jax.lax.bitcast_convert_type(qlo[:, 32:].astype(jnp.uint32), jnp.int32)
+    return k0, k1, k2, k3, valid[:, :w64] & valid[:, 32:]
+
+
+def rc_lanes64(k0, k1, k2, k3):
+    """128-bit reverse complement on 4 int32 lanes (lane mirror + per-lane
+    complement-reverse)."""
+    c = lambda x: jax.lax.bitcast_convert_type(
+        _rev2_32(~jax.lax.bitcast_convert_type(x, jnp.uint32)), jnp.int32
+    )
+    return c(k3), c(k2), c(k1), c(k0)
+
+
+def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
+                             slots: int, slots2: int, miss: int, do_rc: bool):
+    """64-mer canonical dual-value hash lookup (hash_index64).  Returns
+    (ix_a, ix_b) when do_rc else the forward-strand matrix; `miss` must be
+    >= num_labels and fit int32 (the histogram only tests ix < num_labels)."""
+    from utree_tpu.hash_index64 import mix4
+
+    t1, t2 = tables["c64_1"], tables["c64_2"]
+    b1, b2 = t1.shape[0], t2.shape[0]
+    if t1.shape[1] != slots * 6 or t2.shape[1] != slots2 * 6:
+        raise ValueError("slot count does not match table geometry")
+
+    r0, r1, r2, r3 = rc_lanes64(k0, k1, k2, k3)
+
+    def u(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    def lex_le(a, b):
+        le = u(a[3]) <= u(b[3])
+        for i in (2, 1, 0):
+            le = (u(a[i]) < u(b[i])) | ((u(a[i]) == u(b[i])) & le)
+        return le
+
+    fwd_le = lex_le((k0, k1, k2, k3), (r0, r1, r2, r3))
+    c0 = jnp.where(fwd_le, k0, r0)
+    c1 = jnp.where(fwd_le, k1, r1)
+    c2 = jnp.where(fwd_le, k2, r2)
+    c3 = jnp.where(fwd_le, k3, r3)
+
+    def probe(table, bucket, nslots):
+        rows = table[bucket]
+        va = jnp.zeros(bucket.shape, jnp.int32)
+        vb = jnp.zeros(bucket.shape, jnp.int32)
+        for s in range(nslots):
+            m = (
+                (rows[..., s * 6] == c0)
+                & (rows[..., s * 6 + 1] == c1)
+                & (rows[..., s * 6 + 2] == c2)
+                & (rows[..., s * 6 + 3] == c3)
+                & ((rows[..., s * 6 + 4] | rows[..., s * 6 + 5]) != 0)
+            )
+            va = jnp.where(m, rows[..., s * 6 + 4], va)
+            vb = jnp.where(m, rows[..., s * 6 + 5], vb)
+        return va, vb
+
+    h1 = mix4(u(c0), u(c1), u(c2), u(c3), 0, jnp.uint32)
+    hb = mix4(u(c0), u(c1), u(c2), u(c3), 0x6A09E667, jnp.uint32)
+    g = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
+    bkt1 = jnp.where(valid, (g & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
+    va, vb = probe(t1, bkt1, slots)
+    if b2 > 8:
+        h2 = mix4(u(c0), u(c1), u(c2), u(c3), 0x5BD1E995, jnp.uint32)
+        bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
+        va2, vb2 = probe(t2, bkt2, slots2)
+        hit1 = (va | vb) != 0
+        va = jnp.where(hit1, va, va2)
+        vb = jnp.where(hit1, vb, vb2)
+    if do_rc:
+        ix_a = jnp.where(valid & (va > 0), va - 1, miss)
+        ix_b = jnp.where(valid & (vb > 0), vb - 1, miss)
+        return ix_a, ix_b
+    fwd = jnp.where(fwd_le, va, vb)
+    return jnp.where(valid & (fwd > 0), fwd - 1, miss)
+
+
 def window_lanes(reads_u8: jax.Array, lengths: jax.Array, k: int, do_rc: bool):
     """ASCII reads -> per-window (qpre, qhi, qlo, valid) lanes, forward
     followed by arithmetic RC words (k=32)."""
@@ -331,6 +422,15 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
         qpre, qhi, qlo, valid = extract_windows(codes, k)
         r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=CANON_SLOTS,
                                    slots2=CANON_SLOTS2, bad_ix=bad_ix, do_rc=do_rc)
+        return jnp.concatenate(r, axis=1) if do_rc else r
+    if "c64_1" in table and k == 64:
+        from utree_tpu.hash_index64 import CANON64_SLOTS, CANON64_SLOTS2
+
+        codes = base_codes(reads_u8, lengths)
+        k0, k1, k2, k3, valid = extract_windows64(codes)
+        r = lookup_kmers_canonical64(
+            table, k0, k1, k2, k3, valid, slots=CANON64_SLOTS,
+            slots2=CANON64_SLOTS2, miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
         return jnp.concatenate(r, axis=1) if do_rc else r
     qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
     if "t1" in table:

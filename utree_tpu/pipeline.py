@@ -72,7 +72,13 @@ class SearchPipeline:
             use_hash = self.lookup_mode in ("hash", "canonical") or (
                 self.lookup_mode == "auto" and self.index.num_records < 300_000_000
             )
-            if use_hash and cfg.packsize == 32 and self.index.num_labels < 0xFFFF:
+            if cfg.packsize == 64:
+                # the only 64-mer device path is the canonical hash (104-bit
+                # suffixes have no device bsearch); --host otherwise
+                from utree_tpu.hash_index64 import build_canonical_hash_index64
+
+                self._table = build_canonical_hash_index64(self.index).device_put()
+            elif use_hash and cfg.packsize == 32 and self.index.num_labels < 0xFFFF:
                 from utree_tpu.hash_index import build_canonical_hash_index
 
                 try:
@@ -151,6 +157,13 @@ class SearchPipeline:
         words = search_window_words(seq, cfg.packsize, self.do_rc)
         if len(words) == 0:
             return np.zeros(0, np.int64)
+        if self.index.s_hi64 is not None:  # PACKSIZE=64: exact host replay
+            from utree_tpu.search_host import lookup_words
+
+            if not hasattr(self, "_hidx"):
+                self._hidx = self.index.host_index()
+            ixs = lookup_words(self._hidx, words)
+            return ixs[ixs < self.index.num_labels]
         idx = self.index
         suffixes = (idx.suf_hi[:-1].astype(np.uint64) << np.uint64(32)) | idx.suf_lo[:-1].astype(
             np.uint32
