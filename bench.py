@@ -74,11 +74,11 @@ def main():
     reads[mut] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=int(mut.sum()))
     rand_rows = rng.random(num_reads) < 0.10
     reads[rand_rows] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(int(rand_rows.sum()), read_len))
-    names = [b"r%d" % i for i in range(num_reads)]
 
     pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch)
 
     # the product path: FASTA file -> C++ scanner -> device -> native vote
+    import shutil
     import tempfile
 
     tmpdir = tempfile.mkdtemp(prefix="utree_bench_")
@@ -97,9 +97,12 @@ def main():
     np.asarray(pipe.dispatch(seqs0))
     log("bench: warmup/compile done")
 
-    t0 = time.perf_counter()
-    n = pipe.search_file(reads_fa, out_txt)
-    dt = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        n = pipe.search_file(reads_fa, out_txt)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     assert n == num_reads
 
     rps = num_reads / dt

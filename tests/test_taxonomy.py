@@ -80,3 +80,31 @@ def test_aufbau_support_ranges_8col():
     assert extra[0] != b"0;0"
     # single-label reads keep the reference's '*' line shape in both modes
     assert aufbau_vote(b"q2", [1], strings, support_ranges=8) == aufbau_vote(b"q2", [1], strings)
+
+
+def test_host_search_file_support_ranges(tmp_path):
+    """The host driver must accept and apply support_ranges (the CLI's
+    --support-ranges 8 routes here with --host)."""
+    from utree_tpu.build import build_database
+    from utree_tpu.config import UTreeConfig
+    from utree_tpu.formats import write_ctr_from_ubt, write_ubt
+    from utree_tpu.search_host import HostIndex, search_file
+    from utree_tpu.testdata import make_toy_db, make_toy_reads
+
+    recs = make_toy_db(str(tmp_path / "r.fa"), str(tmp_path / "t.map"), seed=42)
+    make_toy_reads(str(tmp_path / "q.fa"), recs, num_reads=60, seed=43)
+    cfg = UTreeConfig(complevel=1)
+    res = build_database(str(tmp_path / "r.fa"), str(tmp_path / "t.map"), cfg)
+    write_ubt(str(tmp_path / "d.ubt"), res.words, res.ixs, res.labels.strings, cfg)
+    write_ctr_from_ubt(str(tmp_path / "d.ubt"), str(tmp_path / "d.ctr"), cfg)
+    idx = HostIndex.from_ctr(str(tmp_path / "d.ctr"), cfg)
+    search_file(idx, str(tmp_path / "q.fa"), str(tmp_path / "o1.txt"), do_rc=True)
+    search_file(idx, str(tmp_path / "q.fa"), str(tmp_path / "o8.txt"), do_rc=True,
+                support_ranges=8)
+    l1 = (tmp_path / "o1.txt").read_bytes().splitlines()
+    l8 = (tmp_path / "o8.txt").read_bytes().splitlines()
+    assert len(l1) == len(l8) and len(l1) > 0
+    for a, b in zip(l1, l8):
+        assert b.startswith(a)
+        if not a.endswith(b"*"):  # voted rows gain exactly 7 extra pairs
+            assert len(b.split(b"\t")) == len(a.split(b"\t")) + 7

@@ -26,10 +26,16 @@ if (
     "JAX_COMPILATION_CACHE_DIR" not in _os.environ
     and not _os.environ.get("UTREE_TPU_NO_JIT_CACHE")
 ):
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.join(
-        _os.path.expanduser("~"), ".cache", "utree_tpu", "xla"
-    )
+    _cache_dir = _os.path.join(_os.path.expanduser("~"), ".cache", "utree_tpu", "xla")
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import sys as _sys
+
+    if "jax" in _sys.modules:  # jax read its env at import; set config directly
+        _sys.modules["jax"].config.update("jax_compilation_cache_dir", _cache_dir)
+        _sys.modules["jax"].config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1
+        )
 
 from utree_tpu.config import UTreeConfig
 from utree_tpu.taxonomy import LabelTable

@@ -46,6 +46,9 @@ def _cmd_search(a):
 
     cfg = sniff_config(a.db)
     if a.rank_specific:
+        if a.support_ranges != 1:
+            raise SystemExit("--support-ranges applies to the GG vote only "
+                             "(the rank-specific output has no SUPPORT;RANGE columns)")
         from utree_tpu.search_host import HostIndex, search_file_shallow
 
         idx = HostIndex.from_ctr(a.db, cfg)

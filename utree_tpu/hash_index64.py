@@ -19,16 +19,12 @@ import dataclasses
 
 import numpy as np
 
-from utree_tpu.hash_index import _CANON_T1_CAP, _CANON_T2_BUDGET, _rc64
+from utree_tpu.hash_index import _CANON_T1_CAP, _CANON_T2_BUDGET, _M1, _M2, _M3, _rc64
 from utree_tpu.index import DeviceIndexArrays
 
 CANON64_SLOTS = 2
 CANON64_LOAD = 0.3
 CANON64_SLOTS2 = 8
-
-_M1 = np.uint32(0x9E3779B1)
-_M2 = np.uint32(0x85EBCA6B)
-_M3 = np.uint32(0xC2B2AE35)
 
 
 def mix4(k0, k1, k2, k3, seed, u32):

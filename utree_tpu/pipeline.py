@@ -60,7 +60,7 @@ class SearchPipeline:
     do_rc: bool = False
     batch_size: int = 8192
     hist_cap: int = 16
-    lookup_mode: str = "auto"  # "hash" | "bsearch" | "auto"
+    lookup_mode: str = "auto"  # "auto" | "canonical" | "hash" | "bsearch"
     support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
     _table: dict = None
 
@@ -77,13 +77,26 @@ class SearchPipeline:
                 # suffixes have no device bsearch); --host otherwise
                 from utree_tpu.hash_index64 import build_canonical_hash_index64
 
-                self._table = build_canonical_hash_index64(self.index).device_put()
-            elif use_hash and cfg.packsize == 32 and self.index.num_labels < 0xFFFF:
+                try:
+                    self._table = build_canonical_hash_index64(self.index).device_put()
+                except (ValueError, RuntimeError) as e:
+                    raise RuntimeError(
+                        "PACKSIZE=64 device search needs the canonical hash "
+                        f"table, which this DB cannot build ({e}); use the "
+                        "host path (search --host)"
+                    ) from e
+            elif (
+                self.lookup_mode in ("auto", "canonical")
+                and use_hash
+                and cfg.packsize == 32
+                and self.index.num_labels < 0xFFFF
+            ):
                 from utree_tpu.hash_index import build_canonical_hash_index
 
                 try:
                     self._table = build_canonical_hash_index(self.index).device_put()
-                except ValueError:  # exceeds HBM budget -> probe-replay path
+                except (ValueError, RuntimeError):
+                    # exceeds the HBM budget / degenerate spill -> replay path
                     self._table = self.index.device_put()
             elif use_hash:
                 from utree_tpu.hash_index import build_hash_index

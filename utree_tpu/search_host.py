@@ -103,7 +103,8 @@ def lookup_words(index: HostIndex, words: np.ndarray) -> np.ndarray:
 
 
 def classify_read(
-    index: HostIndex, name: bytes, seq: bytes, do_rc: bool = False
+    index: HostIndex, name: bytes, seq: bytes, do_rc: bool = False,
+    support_ranges: int = 1,
 ) -> bytes | None:
     """One read -> output line (no newline) or None (itree.c:1020-1098)."""
     words = search_window_words(seq, index.config.packsize, do_rc)
@@ -111,20 +112,24 @@ def classify_read(
         return None
     ixs = lookup_words(index, words)
     hits = ixs[ixs < index.num_labels]
-    return aufbau_vote(name, hits, index.strings, index.config.taxacut)
+    return aufbau_vote(name, hits, index.strings, index.config.taxacut,
+                       support_ranges)
 
 
 def search_file(
-    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False
+    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False,
+    support_ranges: int = 1,
 ) -> int:
-    """Full searchGG over a reads file; returns the number of queries."""
+    """Full searchGG over a reads file; returns the number of queries.
+    support_ranges=8 emits the README-documented per-rank SUPPORT;RANGE
+    columns (classify.aufbau_vote_counts)."""
     n = 0
     with open(out_path, "wb") as fo:
         for header, seq in iter_fasta_records(reads_path):
             n += 1
             # search cuts the name at the first space (itree.c:881-882)
             name = header.split(b" ")[0]
-            line = classify_read(index, name, seq, do_rc)
+            line = classify_read(index, name, seq, do_rc, support_ranges)
             if line is not None:
                 fo.write(line + b"\n")
     return n
