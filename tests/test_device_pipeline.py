@@ -74,3 +74,24 @@ def test_index_from_build_equals_from_ctr(toy):
     assert np.array_equal(a.suf_lo, b.suf_lo)
     assert np.array_equal(a.ix, b.ix)
     assert a.strings == b.strings
+
+
+def test_all_lookup_modes_identical(toy, tmp_path):
+    """canonical / hash / bsearch device tables must classify identically
+    (the hash modes are exact reproductions of the probe replay)."""
+    cfg = UTreeConfig()
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]), cfg)
+    outs = []
+    for mode in ("canonical", "hash", "bsearch"):
+        pipe = SearchPipeline(didx, do_rc=True, batch_size=64, lookup_mode=mode)
+        if mode == "canonical":
+            assert "c1" in pipe._table
+        elif mode == "hash":
+            assert "t1" in pipe._table
+        else:
+            assert "bin_ix" in pipe._table
+        out = tmp_path / f"cls_{mode}.txt"
+        pipe.search_file(str(toy["reads"]), str(out))
+        outs.append(out.read_bytes())
+    assert outs[0] == toy["golden_rc"]["classifications"].read_bytes()
+    assert outs[0] == outs[1] == outs[2]

@@ -1,5 +1,7 @@
 """Golden end-to-end equivalence vs the reference C binaries (toy config)."""
 
+import pathlib
+
 import numpy as np
 
 from utree_tpu.build import build_database
@@ -62,3 +64,26 @@ def test_roundtrip_formats(toy, tmp_path):
     # suffixes are the low 40 bits of the ubt words, in the same order
     assert np.array_equal(ctr.suffixes, ubt.words & np.uint64((1 << 40) - 1))
     assert np.array_equal(ctr.ixs, ubt.ixs)
+
+
+def test_odd_reads_match_oracle(toy, tmp_path):
+    """Reads shorter than k, all-N reads, and normal reads in one file:
+    line-for-line identical to the reference (short/N reads silently absent,
+    itree.c:928-932 foundUniq==0)."""
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.oracle import run_oracle_pipeline
+    from utree_tpu.pipeline import SearchPipeline
+
+    reads = tmp_path / "odd.fa"
+    normal = [l for l in pathlib.Path(toy["reads"]).read_bytes().splitlines() if l][:20]
+    body = b">tiny\nACGT\n>alln\n" + b"N" * 200 + b"\n" + b"\n".join(normal) + b"\n"
+    reads.write_bytes(body)
+    gold = run_oracle_pipeline(toy["refs"], toy["map"], str(reads),
+                               str(tmp_path / "oracle"), complevel=1, do_rc=True)
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]), UTreeConfig())
+    pipe = SearchPipeline(didx, do_rc=True, batch_size=8)
+    out = tmp_path / "odd.out"
+    pipe.search_file(str(reads), str(out))
+    got = out.read_bytes()
+    assert got == gold["classifications"].read_bytes()
+    assert b"tiny" not in got and b"alln" not in got and got.count(b"\n") > 0
