@@ -74,4 +74,55 @@ int64_t utree_pack_batch(const char* data, const int64_t* recs, int64_t first,
   return np_used;
 }
 
+// 2-bit pack records [first, first+count) directly: `packed` (count, lmax/4)
+// MSB-first 2-bit codes, `vbits` (count, lmax/8) MSB-first validity bits
+// (1 = ACGT) — bit-identical to the Python pack_reads_host so the device
+// decode is unchanged.  lmax must be a multiple of 8.  Returns name-pool
+// bytes used, -1 on an over-long sequence, -2 on name-pool overflow.
+int64_t utree_pack_batch_2bit(const char* data, const int64_t* recs,
+                              int64_t first, int64_t count, int64_t lmax,
+                              uint8_t* packed, uint8_t* vbits, int32_t* lens,
+                              char* name_pool, int64_t name_cap,
+                              int64_t* name_offsets) {
+  static uint8_t code[256];
+  static uint8_t valid[256];
+  static bool init = false;
+  if (!init) {
+    memset(code, 0, sizeof(code));
+    memset(valid, 0, sizeof(valid));
+    const char* bases = "AaCcGgTt";
+    for (int i = 0; i < 8; ++i) {
+      code[(uint8_t)bases[i]] = (uint8_t)(i / 2);
+      valid[(uint8_t)bases[i]] = 1;
+    }
+    init = true;
+  }
+  const int64_t pb = lmax / 4, vb = lmax / 8;
+  memset(packed, 0, (size_t)count * pb);
+  memset(vbits, 0, (size_t)count * vb);
+  int64_t np_used = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t* r = recs + (first + i) * 4;
+    int64_t slen = r[3] - r[2];
+    if (slen > lmax) return -1;
+    const uint8_t* s = (const uint8_t*)data + r[2];
+    uint8_t* p = packed + i * pb;
+    uint8_t* v = vbits + i * vb;
+    for (int64_t j = 0; j < slen; ++j) {
+      uint8_t ch = s[j];
+      p[j >> 2] |= (uint8_t)(code[ch] << (2 * (3 - (j & 3))));
+      v[j >> 3] |= (uint8_t)(valid[ch] << (7 - (j & 7)));
+    }
+    lens[i] = (int32_t)slen;
+    int64_t nlen = r[1] - r[0];
+    if (np_used + nlen + 1 > name_cap) return -2;
+    name_offsets[i] = np_used;
+    memcpy(name_pool + np_used, data + r[0], nlen);
+    np_used += nlen;
+    name_pool[np_used++] = '\0';
+  }
+  name_offsets[count] = np_used;
+  return np_used;
+}
+
 }  // extern "C"

@@ -70,3 +70,31 @@ def test_native_batch_order_and_skips(engine_strings):
     assert lines[1].startswith(b"c\t")
     py0 = aufbau_vote_counts(b"a", ids[:2], cnts[:2], strings, 4)
     assert lines[0] == py0
+
+
+def test_native_pack_2bit_bit_identical():
+    """C++ 2-bit packer must produce exactly pack_reads_host's buffers."""
+    import numpy as np
+
+    from utree_tpu.lookup import pack_reads_host
+    from utree_tpu.native import FastaScanner, fasta_lib
+
+    if fasta_lib() is None:
+        import pytest
+
+        pytest.skip("native fasta lib unavailable")
+    rng = np.random.default_rng(0)
+    seqs = [rng.choice(np.frombuffer(b"ACGTacgtNnX", np.uint8),
+                       size=int(rng.integers(1, 180))).tobytes() for _ in range(200)]
+    data = b"".join(b">r%d extra\n%s\n" % (i, s) for i, s in enumerate(seqs))
+    sc = FastaScanner(data)
+    lmax = 192
+    p2, v2, l2, pool, offs = sc.pack_2bit(0, len(seqs), lmax)
+    reads = np.zeros((len(seqs), lmax), np.uint8)
+    lens = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        reads[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    p1, v1, l1 = pack_reads_host(reads, lens)
+    assert np.array_equal(p1, p2) and np.array_equal(v1, v2) and np.array_equal(l1, l2)
+    assert pool[offs[3]:offs[4] - 1] == b"r3"

@@ -65,7 +65,8 @@ def _cmd_search(a):
 
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
         pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
-                              support_ranges=a.support_ranges)
+                              support_ranges=a.support_ranges,
+                              lookup_mode=a.lookup_mode)
         n = pipe.search_file(a.reads, a.out, resume=a.resume)
     print(f"Searched {n} queries -> {a.out}")
 
@@ -126,6 +127,9 @@ def main(argv=None):
                    "binary's output (itree.c:1096), 8 = the README-documented "
                    "per-rank variant (host vote)")
     s.add_argument("--batch", type=int, default=8192)
+    s.add_argument("--lookup-mode", dest="lookup_mode", default="auto",
+                   choices=("auto", "canonical", "hash", "bsearch"),
+                   help="device table layout (auto picks by DB size)")
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")
     s.set_defaults(fn=_cmd_search)

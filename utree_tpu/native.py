@@ -83,6 +83,14 @@ def fasta_lib():
         np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int32),
         ctypes.c_char_p, ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.utree_pack_batch_2bit.restype = ctypes.c_int64
+    lib.utree_pack_batch_2bit.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
+    ]
     _fasta_lib = lib
     return lib
 
@@ -120,6 +128,25 @@ class FastaScanner:
         if used < 0:
             raise ValueError(f"pack error {used}")
         return reads, lens, pool.raw[:used], name_offsets
+
+    def pack_2bit(self, first: int, count: int, lmax: int):
+        """(packed (count,lmax/4) u8, vbits (count,lmax/8) u8, lens i32,
+        name_pool bytes, name_offsets) — bit-identical to
+        lookup.pack_reads_host over the ASCII matrix, done in C++."""
+        assert lmax % 8 == 0
+        packed = np.zeros((count, lmax // 4), np.uint8)
+        vbits = np.zeros((count, lmax // 8), np.uint8)
+        lens = np.zeros(count, np.int32)
+        name_offsets = np.zeros(count + 1, np.int64)
+        cap = int((self.recs[first : first + count, 1] - self.recs[first : first + count, 0]).sum() + count + 16)
+        pool = ctypes.create_string_buffer(cap)
+        used = self.lib.utree_pack_batch_2bit(
+            self.data, self.recs.reshape(-1), first, count, lmax,
+            packed, vbits, lens, pool, cap, name_offsets,
+        )
+        if used < 0:
+            raise ValueError(f"pack error {used}")
+        return packed, vbits, lens, pool.raw[:used], name_offsets
 
     def record_seq(self, i: int) -> bytes:
         a, b = int(self.recs[i, 2]), int(self.recs[i, 3])

@@ -156,10 +156,14 @@ class SearchPipeline:
             if reads.shape[1] % 8:
                 reads = np.pad(reads, ((0, 0), (0, 8 - reads.shape[1] % 8)))
             packed, vbits, lens = pack_reads_host(reads, lengths)
-            return self._step(self._table, jax.device_put(packed),
-                              jax.device_put(vbits), jax.device_put(lens))
+            return self.dispatch_packed(packed, vbits, lens)
         return self._step(self._table, jax.device_put(reads),
                           jax.device_put(lengths.astype(np.int32)))
+
+    def dispatch_packed(self, packed: np.ndarray, vbits: np.ndarray, lens: np.ndarray):
+        """Dispatch pre-2-bit-packed reads (e.g. from the C++ scanner)."""
+        return self._step(self._table, jax.device_put(packed),
+                          jax.device_put(vbits), jax.device_put(lens))
 
     # ---- host-side exact fallback (overflowed histograms) ----------------
 
@@ -416,11 +420,21 @@ class SearchPipeline:
                 count = e - r
                 lmax = _bucket_len64(int(lens_all[r:e].max()))
                 lmax = max(lmax, self.index.config.packsize)
-                reads, lens, npool, noffs = sc.pack(r, count, lmax)
-                if count < self.batch_size:  # pad rows: one jit shape per lmax
-                    reads = np.pad(reads, ((0, self.batch_size - count), (0, 0)))
-                    lens = np.pad(lens, (0, self.batch_size - count))
-                pending.append((r, count, self.dispatch_matrix(reads, lens), npool, noffs))
+                pad = self.batch_size - count
+                if self._packed:  # 2-bit packing happens in C++ (memcpy speed)
+                    packed, vbits, lens, npool, noffs = sc.pack_2bit(r, count, lmax)
+                    if pad:  # pad rows: one jit shape per lmax
+                        packed = np.pad(packed, ((0, pad), (0, 0)))
+                        vbits = np.pad(vbits, ((0, pad), (0, 0)))
+                        lens = np.pad(lens, (0, pad))
+                    handle = self.dispatch_packed(packed, vbits, lens)
+                else:
+                    reads, lens, npool, noffs = sc.pack(r, count, lmax)
+                    if pad:
+                        reads = np.pad(reads, ((0, pad), (0, 0)))
+                        lens = np.pad(lens, (0, pad))
+                    handle = self.dispatch_matrix(reads, lens)
+                pending.append((r, count, handle, npool, noffs))
                 drain(block=False)
                 r = e
             drain(block=True)
