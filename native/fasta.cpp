@@ -84,19 +84,24 @@ int64_t utree_pack_batch_2bit(const char* data, const int64_t* recs,
                               uint8_t* packed, uint8_t* vbits, int32_t* lens,
                               char* name_pool, int64_t name_cap,
                               int64_t* name_offsets) {
-  static uint8_t code[256];
-  static uint8_t valid[256];
-  static bool init = false;
-  if (!init) {
-    memset(code, 0, sizeof(code));
-    memset(valid, 0, sizeof(valid));
-    const char* bases = "AaCcGgTt";
-    for (int i = 0; i < 8; ++i) {
-      code[(uint8_t)bases[i]] = (uint8_t)(i / 2);
-      valid[(uint8_t)bases[i]] = 1;
+  // thread-safe lazy init ("magic static", C++11): the packer may be called
+  // from multiple host threads concurrently
+  struct Tables {
+    uint8_t code[256];
+    uint8_t valid[256];
+    Tables() {
+      memset(code, 0, sizeof(code));
+      memset(valid, 0, sizeof(valid));
+      const char* bases = "AaCcGgTt";
+      for (int i = 0; i < 8; ++i) {
+        code[(uint8_t)bases[i]] = (uint8_t)(i / 2);
+        valid[(uint8_t)bases[i]] = 1;
+      }
     }
-    init = true;
-  }
+  };
+  static const Tables t;
+  const uint8_t* code = t.code;
+  const uint8_t* valid = t.valid;
   const int64_t pb = lmax / 4, vb = lmax / 8;
   memset(packed, 0, (size_t)count * pb);
   memset(vbits, 0, (size_t)count * vb);

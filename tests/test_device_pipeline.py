@@ -95,3 +95,44 @@ def test_all_lookup_modes_identical(toy, tmp_path):
         outs.append(out.read_bytes())
     assert outs[0] == toy["golden_rc"]["classifications"].read_bytes()
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_ixtype4_packsize32_device_path(toy):
+    """IXTYPE=u32 with PACKSIZE=32: the miss sentinel (2^32-1) must be clamped
+    to int32 range in the device paths (ADVICE r1) instead of overflowing."""
+    from utree_tpu.build import build_database
+
+    cfg = UTreeConfig(ixtype_bytes=4)
+    res = build_database(toy["refs"], toy["map"], cfg)
+    idx = DeviceIndexArrays.from_build(res.words, res.ixs, res.labels.strings, cfg)
+    # reference vote via the ixtype=2 golden pipeline on the same reads
+    idx16 = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]))
+    from utree_tpu.io.fasta import iter_fasta_records
+
+    names, seqs = [], []
+    for h, s in iter_fasta_records(toy["reads"]):
+        names.append(h.split(b" ")[0])
+        seqs.append(s)
+        if len(seqs) == 64:
+            break
+    for mode in ("bsearch", "hash"):
+        pipe32 = SearchPipeline(idx, do_rc=True, batch_size=32, lookup_mode=mode)
+        pipe16 = SearchPipeline(idx16, do_rc=True, batch_size=32, lookup_mode=mode)
+        got = pipe32.classify_batch(names, seqs)
+        want = pipe16.classify_batch(names, seqs)
+        assert got == want
+
+
+def test_explicit_lookup_mode_never_degrades(toy):
+    """An explicit --lookup-mode that cannot be honored raises (ADVICE r1)
+    instead of silently falling back to a different table layout."""
+    import pytest
+
+    from utree_tpu.build import build_database
+
+    # PACKSIZE=64 has exactly one device path; explicit bsearch must raise
+    cfg64 = UTreeConfig(packsize=64, ixtype_bytes=4)
+    res64 = build_database(toy["refs"], toy["map"], cfg64)
+    idx64 = DeviceIndexArrays.from_build(res64.words, res64.ixs, res64.labels.strings, cfg64)
+    with pytest.raises(ValueError):
+        SearchPipeline(idx64, lookup_mode="bsearch", batch_size=8)

@@ -73,6 +73,12 @@ class SearchPipeline:
                 self.lookup_mode == "auto" and self.index.num_records < 300_000_000
             )
             if cfg.packsize == 64:
+                if self.lookup_mode not in ("auto", "canonical"):
+                    # don't silently ignore an explicit table-layout request
+                    raise ValueError(
+                        f"--lookup-mode {self.lookup_mode!r} is unsupported for "
+                        "PACKSIZE=64; the only device path is the canonical hash"
+                    )
                 # the only 64-mer device path is the canonical hash (104-bit
                 # suffixes have no device bsearch); --host otherwise
                 from utree_tpu.hash_index64 import build_canonical_hash_index64
@@ -95,10 +101,19 @@ class SearchPipeline:
 
                 try:
                     self._table = build_canonical_hash_index(self.index).device_put()
-                except (ValueError, RuntimeError):
+                except (ValueError, RuntimeError) as e:
+                    if self.lookup_mode == "canonical":
+                        raise RuntimeError(
+                            f"--lookup-mode canonical cannot be honored: {e}"
+                        ) from e
                     # exceeds the HBM budget / degenerate spill -> replay path
                     self._table = self.index.device_put()
             elif use_hash:
+                if self.lookup_mode == "canonical":
+                    raise RuntimeError(
+                        "--lookup-mode canonical requires PACKSIZE=32 and "
+                        f"fewer than 65535 labels (DB has {self.index.num_labels})"
+                    )
                 from utree_tpu.hash_index import build_hash_index
 
                 self._table = build_hash_index(self.index).device_put()
@@ -115,7 +130,10 @@ class SearchPipeline:
             k=cfg.packsize,
             do_rc=self.do_rc,
             probe_iters=self.index.probe_iters,
-            bad_ix=cfg.bad_ix,
+            # IXTYPE=u32 makes cfg.bad_ix 2^32-1, which overflows the int32
+            # device lanes; any miss sentinel >= num_labels is equivalent
+            # (the histogram only tests ix < num_labels)
+            bad_ix=min(cfg.bad_ix, 0x7FFFFFFF),
             num_labels=self.index.num_labels,
             cap=self.hist_cap,
         )
