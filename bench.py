@@ -75,7 +75,10 @@ def main():
     rand_rows = rng.random(num_reads) < 0.10
     reads[rand_rows] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(int(rand_rows.sum()), read_len))
 
-    pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch)
+    from utree_tpu.utils.trace import PhaseTimer
+
+    tracer = PhaseTimer(quiet=True)
+    pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer)
 
     # the product path: FASTA file -> C++ scanner -> device -> native vote
     import shutil
@@ -106,6 +109,8 @@ def main():
     assert n == num_reads
 
     rps = num_reads / dt
+    for name, t in tracer.phases.items():
+        log(f"bench phase: {name:12s} {t:8.3f}s")
     baseline = 16_000_000 / 60.0  # reference: 16M reads/min on 32-core server
     print(json.dumps({
         "metric": "search_reads_per_sec_per_chip",

@@ -43,7 +43,9 @@ def _cmd_compress(a):
 
 def _cmd_search(a):
     from utree_tpu.formats import sniff_config
+    from utree_tpu.utils.trace import PhaseTimer, Tracer
 
+    tm = PhaseTimer(quiet=True) if a.trace else None
     cfg = sniff_config(a.db)
     if a.rank_specific:
         if a.support_ranges != 1:
@@ -56,18 +58,43 @@ def _cmd_search(a):
     elif a.host:
         from utree_tpu.search_host import HostIndex, search_file
 
-        idx = HostIndex.from_ctr(a.db, cfg)
-        n = search_file(idx, a.reads, a.out, do_rc=a.rc,
-                        support_ranges=a.support_ranges)
+        if tm:
+            with tm.phase("load-db"):
+                idx = HostIndex.from_ctr(a.db, cfg)
+            with tm.phase("search"):
+                n = search_file(idx, a.reads, a.out, do_rc=a.rc,
+                                support_ranges=a.support_ranges)
+            tm.count("reads", n)
+        else:
+            idx = HostIndex.from_ctr(a.db, cfg)
+            n = search_file(idx, a.reads, a.out, do_rc=a.rc,
+                            support_ranges=a.support_ranges)
     else:
         from utree_tpu.index import DeviceIndexArrays
         from utree_tpu.pipeline import SearchPipeline
 
-        idx = DeviceIndexArrays.from_ctr(a.db, cfg)
-        pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
-                              support_ranges=a.support_ranges,
-                              lookup_mode=a.lookup_mode)
-        n = pipe.search_file(a.reads, a.out, resume=a.resume)
+        if tm:
+            with tm.phase("load-db"):
+                idx = DeviceIndexArrays.from_ctr(a.db, cfg)
+            with tm.phase("build-table"):
+                pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
+                                      support_ranges=a.support_ranges,
+                                      lookup_mode=a.lookup_mode, tracer=tm)
+            with Tracer(a.profile_dir), tm.phase("search"):
+                n = pipe.search_file(a.reads, a.out, resume=a.resume)
+        else:
+            idx = DeviceIndexArrays.from_ctr(a.db, cfg)
+            pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
+                                  support_ranges=a.support_ranges,
+                                  lookup_mode=a.lookup_mode)
+            with Tracer(a.profile_dir):
+                n = pipe.search_file(a.reads, a.out, resume=a.resume)
+    if tm:
+        for name, dt in tm.phases.items():
+            print(f"{name} [{dt:.3f}s]")
+        rps = tm.rate("reads", "search")
+        if rps:
+            print(f"throughput: {rps:,.0f} reads/s/chip")
     print(f"Searched {n} queries -> {a.out}")
 
 
@@ -132,6 +159,11 @@ def main(argv=None):
                    help="device table layout (auto picks by DB size)")
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")
+    s.add_argument("--trace", action="store_true",
+                   help="print per-phase timings + reads/s/chip (the "
+                   "reference's omp_get_wtime narration, xtree.c:289-473)")
+    s.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="capture a jax.profiler device trace to this dir")
     s.set_defaults(fn=_cmd_search)
 
     xb = sub.add_parser("xtree-build", help="xtree BUILD equivalent")

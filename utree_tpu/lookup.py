@@ -239,6 +239,72 @@ def lookup_kmers_hash(hash_table: dict, qpre, qhi, qlo, valid, *, slots: int, ba
     return jnp.where(valid, out, bad_ix)
 
 
+def canonical_keys(qpre, qhi, qlo):
+    """Forward word lanes -> canonical-word key lanes + orientation.
+
+    Returns (key_lo i32, key_hi i32, fwd_le bool) where (key_hi, key_lo) are
+    the bit lanes of c = min(word, rc(word)) — the canonical dual-value hash's
+    key (hash_index.CanonicalHashArrays)."""
+    lo_u = qlo.astype(jnp.uint32)
+    fwd_hi32 = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
+    rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+    rc_hi32 = (rpre.astype(jnp.uint32) << jnp.uint32(8)) | rhi.astype(jnp.uint32)
+    rlo_u = rlo.astype(jnp.uint32)
+    fwd_le = (fwd_hi32 < rc_hi32) | ((fwd_hi32 == rc_hi32) & (lo_u <= rlo_u))
+    c_hi32 = jnp.where(fwd_le, fwd_hi32, rc_hi32)
+    c_lo = jnp.where(fwd_le, lo_u, rlo_u)
+    key_lo = jax.lax.bitcast_convert_type(c_lo, jnp.int32)
+    key_hi = jax.lax.bitcast_convert_type(c_hi32, jnp.int32)
+    return key_lo, key_hi, fwd_le
+
+
+def canonical_buckets(key_lo, key_hi, valid, b1: int, b2: int):
+    """Bucket ids for both canonical tables; invalid windows probe bucket 0
+    (served from on-chip cache instead of a random HBM touch).  Must mirror
+    hash_index's builder mixes exactly."""
+    c_lo = key_lo.astype(jnp.uint32)
+    c_hi32 = key_hi.astype(jnp.uint32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+    # folded two-mix bucket hash: a single 32-bit mix leaves birthday-
+    # colliding key pairs no table growth can split
+    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
+    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
+    g = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
+    bkt1 = jnp.where(valid, (g & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
+    h2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x5BD1E995))
+    bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
+    return bkt1, bkt2
+
+
+def probe_rows(rows, key_lo, key_hi, nslots: int):
+    """Vectorized slot compare over gathered bucket rows (..., nslots*3):
+    returns the matching entry's packed dual value, 0 = no entry."""
+    val = jnp.zeros(key_lo.shape, jnp.int32)
+    for s in range(nslots):
+        m = (
+            (rows[..., s * 3] == key_lo)
+            & (rows[..., s * 3 + 1] == key_hi)
+            & (rows[..., s * 3 + 2] != 0)
+        )
+        val = jnp.where(m, rows[..., s * 3 + 2], val)
+    return val
+
+
+def decode_canonical_vals(val, valid, fwd_le, bad_ix: int, do_rc: bool):
+    """Packed dual value -> per-window label ids (the exact reference hit
+    multiset; see CanonicalHashArrays)."""
+    vu = jax.lax.bitcast_convert_type(val, jnp.uint32)
+    va = (vu & jnp.uint32(0xFFFF)).astype(jnp.int32) - 1  # ix of canonical word
+    vb = (vu >> jnp.uint32(16)).astype(jnp.int32) - 1  # ix of its RC
+    if do_rc:
+        ix_a = jnp.where(valid & (va >= 0), va, bad_ix)
+        ix_b = jnp.where(valid & (vb >= 0), vb, bad_ix)
+        return ix_a, ix_b
+    fwd = jnp.where(fwd_le, va, vb)
+    return jnp.where(valid & (fwd >= 0), fwd, bad_ix)
+
+
 def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
                            slots: int, slots2: int, bad_ix: int, do_rc: bool):
     """Canonical dual-value hash lookup (see hash_index.CanonicalHashArrays):
@@ -254,53 +320,12 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     if t1.shape[1] != slots * 3 or t2.shape[1] != slots2 * 3:
         raise ValueError("slot count does not match table geometry")
 
-    lo_u = qlo.astype(jnp.uint32)
-    fwd_hi32 = (qpre.astype(jnp.uint32) << jnp.uint32(8)) | qhi.astype(jnp.uint32)
-    rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
-    rc_hi32 = (rpre.astype(jnp.uint32) << jnp.uint32(8)) | rhi.astype(jnp.uint32)
-    rlo_u = rlo.astype(jnp.uint32)
-    fwd_le = (fwd_hi32 < rc_hi32) | ((fwd_hi32 == rc_hi32) & (lo_u <= rlo_u))
-    c_hi32 = jnp.where(fwd_le, fwd_hi32, rc_hi32)
-    c_lo = jnp.where(fwd_le, lo_u, rlo_u)
-    key_lo = jax.lax.bitcast_convert_type(c_lo, jnp.int32)
-    key_hi = jax.lax.bitcast_convert_type(c_hi32, jnp.int32)
-    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
-    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
-
-    def probe(table, bucket, nslots):
-        rows = table[bucket]
-        val = jnp.zeros(bucket.shape, jnp.int32)
-        for s in range(nslots):
-            m = (
-                (rows[..., s * 3] == key_lo)
-                & (rows[..., s * 3 + 1] == key_hi)
-                & (rows[..., s * 3 + 2] != 0)
-            )
-            val = jnp.where(m, rows[..., s * 3 + 2], val)
-        return val
-
-    # folded two-mix bucket hash (must mirror hash_index exactly): a single
-    # 32-bit mix leaves birthday-colliding key pairs no table growth can split
-    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
-    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
-    g = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
-    # invalid windows probe bucket 0: the gather engine serves the repeated
-    # row from on-chip cache instead of a random HBM touch
-    bkt1 = jnp.where(valid, (g & jnp.uint32(b1 - 1)).astype(jnp.int32), 0)
-    val = probe(t1, bkt1, slots)
+    key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
+    bkt1, bkt2 = canonical_buckets(key_lo, key_hi, valid, b1, b2)
+    val = probe_rows(t1[bkt1], key_lo, key_hi, slots)
     if b2 > 8:  # spill probe (t2 is cache-resident: ~5.5ns)
-        h2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x5BD1E995))
-        bkt2 = jnp.where(valid, (h2 & jnp.uint32(b2 - 1)).astype(jnp.int32), 0)
-        val = jnp.where(val != 0, val, probe(t2, bkt2, slots2))
-    vu = jax.lax.bitcast_convert_type(val, jnp.uint32)
-    va = (vu & jnp.uint32(0xFFFF)).astype(jnp.int32) - 1  # ix of canonical word
-    vb = (vu >> jnp.uint32(16)).astype(jnp.int32) - 1  # ix of its RC
-    if do_rc:
-        ix_a = jnp.where(valid & (va >= 0), va, bad_ix)
-        ix_b = jnp.where(valid & (vb >= 0), vb, bad_ix)
-        return ix_a, ix_b
-    fwd = jnp.where(fwd_le, va, vb)
-    return jnp.where(valid & (fwd >= 0), fwd, bad_ix)
+        val = jnp.where(val != 0, val, probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+    return decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
 
 
 def extract_windows64(codes: jax.Array):
@@ -497,11 +522,20 @@ def search_step_hist(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
 def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
                             lengths: jax.Array, *,
                             k: int, do_rc: bool, probe_iters: int, bad_ix: int,
-                            num_labels: int, cap: int = 16):
+                            num_labels: int, cap: int = 16,
+                            true_len: int | None = None):
     """2-bit-packed-input variant with a u16-packed output: (B, cap+1) int32
     where col j<cap = (label+1) | count<<16 and col cap = nuniq | found<<5.
     Requires window counts < 2^16 (reads < ~32Kb; longer reads take the
-    chunked long-read path) and num_labels < 2^16-1."""
+    chunked long-read path) and num_labels < 2^16-1.
+
+    true_len (static, multiple of 8, >= every row length) trims the window
+    count to the batch's real maximum read length instead of the transfer
+    buffer's padded width — windows past it are all-invalid anyway, and every
+    per-window cost (gather, probe, histogram) is linear in W."""
+    if true_len is not None and true_len < packed.shape[1] * 4:
+        packed = packed[:, : true_len // 4]
+        vbits = vbits[:, : true_len // 8]
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     if "c1" in table:  # canonical: both strands from one probe per position
@@ -521,6 +555,12 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
             ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
         else:
             ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+    return pack_hist(ix, num_labels, cap)
+
+
+def pack_hist(ix: jax.Array, num_labels: int, cap: int) -> jax.Array:
+    """compact_histogram + u16 packing: (B, W) ids -> (B, cap+1) int32 where
+    col j<cap = (label+1) | count<<16 and col cap = nuniq | found<<5."""
     labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
     lc = (labels + 1) | (counts << 16)
     tail = nuniq | (found << 5)

@@ -1,0 +1,221 @@
+"""Routed (all_to_all) sharded canonical-hash search — BASELINE config 5.
+
+The reference keeps the whole CTR in one node's RAM (itree.c:733-828); a real
+L2 database (~1G k-mers) exceeds one chip's HBM once hashed, so the big table
+must shard.  `parallel.sharded.sharded_search_step` is the always-correct
+baseline (every shard probes the whole batch, psum merge) but does S× the
+probe work and only shards the slow bsearch layout.  This module shards the
+FAST layout and routes, MoE-style (k-mers -> bucket shards is the same shape
+as tokens -> experts, SURVEY.md §2.3):
+
+  - t1 (the big table) is partitioned by bucket range over the mesh axis:
+    owner = bucket >> log2(b1/S), local row = bucket & (b1/S - 1).
+  - t2 (the spill table, <= ~3MB by construction) is replicated: it is
+    cache-resident and sharding it would route traffic worth more than it.
+  - Each chip encodes its own read shard, routes (local_bucket, key_lo,
+    key_hi) to owners with all_to_all over fixed-capacity slots, probes its
+    local t1 slice for what it receives, and routes the packed dual values
+    back.  The t2 probe, value decode, and per-read histogram stay local to
+    the data shard, so the output is data-sharded exactly like the
+    single-chip step's.
+
+EXACTNESS: routing only moves WHERE a bucket row is gathered; the probe math
+and the histogram are the single-device functions (lookup.canonical_keys /
+probe_rows / decode_canonical_vals / pack_hist).  Capacity overflow (a batch
+whose k-mers hash so unevenly that one (sender, owner) pair exceeds its
+slots) is detected and reported as a flag in the output's last column; the
+caller redispatches such batches through the broadcast fallback
+(`routed_fallback_step`, also exact).  At capacity factor 1.3 over the
+uniform hash the flag fires with negligible probability — but the contract
+stays exact, never "probably fits".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from utree_tpu.hash_index import CANON_SLOTS, CANON_SLOTS2, CanonicalHashArrays
+from utree_tpu.lookup import (
+    base_codes_packed,
+    canonical_buckets,
+    canonical_keys,
+    decode_canonical_vals,
+    extract_windows,
+    pack_hist,
+    probe_rows,
+)
+
+
+@dataclasses.dataclass
+class ShardedCanonicalIndex:
+    """Canonical hash table split for the routed mode: t1 stacked on a
+    leading shard axis (bucket-range partition), t2 whole (replicated)."""
+
+    t1: np.ndarray  # int32 (S, b1/S, slots*3)
+    t2: np.ndarray  # int32 (b2, slots2*3)
+    num_shards: int
+    b1: int  # global t1 bucket count
+    slots: int
+    slots2: int
+
+    @classmethod
+    def from_canonical(cls, c: CanonicalHashArrays, num_shards: int) -> "ShardedCanonicalIndex":
+        b1 = c.t1.shape[0]
+        if b1 % num_shards:
+            raise ValueError("num_shards must divide the t1 bucket count")
+        per = b1 // num_shards
+        return cls(
+            t1=np.ascontiguousarray(c.t1.reshape(num_shards, per, c.t1.shape[1])),
+            t2=c.t2, num_shards=num_shards, b1=b1,
+            slots=c.slots, slots2=c.slots2,
+        )
+
+    def device_put(self, mesh: Mesh, axis: str = "table"):
+        return {
+            "t1": jax.device_put(self.t1, NamedSharding(mesh, P(axis))),
+            "t2": jax.device_put(self.t2, NamedSharding(mesh, P())),
+        }
+
+
+def _routed_probe_t1(t1_local, bkt1, valid, key_lo, key_hi, *, axis: str,
+                     num_shards: int, per_shard: int, slots: int,
+                     capacity: int):
+    """Route (bucket, keys) to owners over `axis`, probe, route values back.
+
+    All inputs are flattened (P,) position lanes on the local data shard.
+    Returns (val (P,) int32, overflow bool scalar)."""
+    owner = bkt1 // per_shard  # bucket ranges are contiguous row blocks
+    local_bkt = bkt1 - owner * per_shard
+
+    # rank of each position within its destination (valid positions only:
+    # invalid windows never route — their value is 0 by construction)
+    rank = jnp.zeros_like(bkt1)
+    for s in range(num_shards):
+        m = valid & (owner == s)
+        r = jnp.cumsum(m.astype(jnp.int32)) - 1
+        rank = jnp.where(m, r, rank)
+    routable = valid & (rank < capacity)
+    overflow = jnp.any(valid & (rank >= capacity))
+
+    # scatter payloads into fixed (S, C) slots.  Non-routable positions are
+    # aimed at slot `capacity` (out of bounds) so mode="drop" discards them
+    # and every surviving (owner, rank) pair is unique — a deterministic
+    # scatter.  Unwritten slots keep bucket 0 / key 0; their replies are
+    # never read back.
+    r = jnp.where(routable, rank, capacity)
+    send = jnp.zeros((num_shards, capacity, 3), jnp.int32)
+    payload = jnp.stack([local_bkt, key_lo, key_hi], axis=-1)
+    send = send.at[owner, r].set(payload, mode="drop", unique_indices=True)
+
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
+    rows = t1_local[recv[:, :, 0]]
+    vals = probe_rows(rows, recv[:, :, 1], recv[:, :, 2], slots)
+    reply = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0, tiled=False)
+    o = jnp.where(routable, owner, 0)
+    rr = jnp.where(routable, rank, 0)
+    val = jnp.where(routable, reply[o, rr], 0)
+    return val, overflow
+
+
+def routed_canonical_search_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
+                                 do_rc: bool, num_labels: int, cap: int,
+                                 bad_ix: int, capacity_factor: float = 1.3,
+                                 capacity: int | None = None,
+                                 axis: str = "table", data_axis: str = "data"):
+    """jitted (table, packed, vbits, lens) -> (B, cap+2) int32: the packed
+    histograms of search_step_hist_packed plus a final `overflow` column
+    (identical across rows; nonzero means redispatch via the fallback)."""
+    S = sharded.num_shards
+    per_shard = sharded.b1 // S
+    b2 = sharded.t2.shape[0]
+    slots, slots2 = sharded.slots, sharded.slots2
+    bad_ix = min(bad_ix, 0x7FFFFFFF)
+
+    def step(table, packed, vbits, lens):
+        def shard_fn(t1_local, t2, packed, vbits, lens):
+            codes = base_codes_packed(packed, vbits, lens)
+            qpre, qhi, qlo, valid = extract_windows(codes, 32)
+            b_loc, w = qpre.shape
+            key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
+            bkt1, bkt2 = canonical_buckets(key_lo, key_hi, valid, sharded.b1, b2)
+
+            p = b_loc * w
+            c = capacity if capacity is not None else max(
+                128, int(np.ceil(p / S * capacity_factor / 128)) * 128)
+            val, overflow = _routed_probe_t1(
+                t1_local[0], bkt1.reshape(p), valid.reshape(p),
+                key_lo.reshape(p), key_hi.reshape(p),
+                axis=axis, num_shards=S, per_shard=per_shard, slots=slots,
+                capacity=c,
+            )
+            val = val.reshape(b_loc, w)
+            if b2 > 8:  # replicated spill probe, local (cache-resident)
+                val = jnp.where(val != 0, val,
+                                probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+            r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
+            ix = jnp.concatenate(r, axis=1) if do_rc else r
+            out = pack_hist(ix, num_labels, cap)
+            # overflow is identical on every chip after this psum
+            oflo = jax.lax.psum(overflow.astype(jnp.int32), (data_axis, axis))
+            return jnp.concatenate(
+                [out, jnp.broadcast_to(oflo, (b_loc, 1))], axis=1)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P((data_axis, axis)), P((data_axis, axis)),
+                      P((data_axis, axis))),
+            out_specs=P((data_axis, axis)),
+        )(table["t1"], table["t2"], packed, vbits, lens)
+
+    return jax.jit(step)
+
+
+def routed_fallback_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
+                         do_rc: bool, num_labels: int, cap: int, bad_ix: int,
+                         axis: str = "table", data_axis: str = "data"):
+    """Exact fallback for capacity-overflow batches: every chip all_gathers
+    the batch, probes its own t1 range for everything (out-of-range buckets
+    clamp to a single cached row), and the values psum-merge (each bucket has
+    exactly one owner, misses contribute 0).  Output identical to the routed
+    step minus the overflow column."""
+    S = sharded.num_shards
+    per_shard = sharded.b1 // S
+    b2 = sharded.t2.shape[0]
+    slots, slots2 = sharded.slots, sharded.slots2
+    bad_ix = min(bad_ix, 0x7FFFFFFF)
+
+    def step(table, packed, vbits, lens):
+        def shard_fn(t1_local, t2, packed, vbits, lens):
+            codes = base_codes_packed(packed, vbits, lens)
+            qpre, qhi, qlo, valid = extract_windows(codes, 32)
+            key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
+            bkt1, bkt2 = canonical_buckets(key_lo, key_hi, valid, sharded.b1, b2)
+            my = jax.lax.axis_index(axis)
+            owner = bkt1 // per_shard
+            mine = owner == my
+            local = jnp.where(mine, bkt1 - my * per_shard, 0)
+            v = probe_rows(t1_local[0][local], key_lo, key_hi, slots)
+            v = jnp.where(mine, v, 0)
+            val = jax.lax.psum(v, axis)
+            if b2 > 8:
+                val = jnp.where(val != 0, val,
+                                probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+            r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
+            ix = jnp.concatenate(r, axis=1) if do_rc else r
+            return pack_hist(ix, num_labels, cap)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(data_axis), P(data_axis), P(data_axis)),
+            out_specs=P(data_axis),
+        )(table["t1"], table["t2"], packed, vbits, lens)
+
+    return jax.jit(step)

@@ -59,12 +59,20 @@ class SearchPipeline:
     index: DeviceIndexArrays
     do_rc: bool = False
     batch_size: int = 8192
-    hist_cap: int = 16
+    # 8 rounds of histogram extraction, not 16: measured ~109ms/65K-batch
+    # cheaper on-chip, and reads with >8 unique labels (rare: a read hits ~1-2
+    # genomes) are recomputed exactly on host via the overflow path
+    hist_cap: int = 8
     lookup_mode: str = "auto"  # "auto" | "canonical" | "hash" | "bsearch"
     support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
     _table: dict = None
 
     use_native_vote: bool = True
+    # optional utils.trace.PhaseTimer: search_file accumulates per-phase time
+    # (scan/pack/dispatch/drain+vote/write) + a `reads` count into it — the
+    # framework's answer to the reference's omp_get_wtime narration
+    # (xtree.c:289-473; itree.c:878 progress lines)
+    tracer: object = None
 
     def __post_init__(self):
         cfg = self.index.config
@@ -145,7 +153,8 @@ class SearchPipeline:
         if self._packed:
             from utree_tpu.lookup import search_step_hist_packed
 
-            self._step = jax.jit(functools.partial(search_step_hist_packed, **common))
+            self._step = jax.jit(functools.partial(search_step_hist_packed, **common),
+                                 static_argnames=("true_len",))
         else:
             self._step = jax.jit(functools.partial(search_step_hist, **common))
 
@@ -179,9 +188,17 @@ class SearchPipeline:
                           jax.device_put(lengths.astype(np.int32)))
 
     def dispatch_packed(self, packed: np.ndarray, vbits: np.ndarray, lens: np.ndarray):
-        """Dispatch pre-2-bit-packed reads (e.g. from the C++ scanner)."""
+        """Dispatch pre-2-bit-packed reads (e.g. from the C++ scanner).
+
+        The window count is trimmed to the batch's true max read length
+        (rounded to 16 to bound jit variants): the transfer buffer's padded
+        width would otherwise cost ~26% extra windows on 150bp reads."""
+        k = self.index.config.packsize
+        tl = int(lens.max()) if len(lens) else k
+        tl = min(max(k, (tl + 15) & ~15), packed.shape[1] * 4)
         return self._step(self._table, jax.device_put(packed),
-                          jax.device_put(vbits), jax.device_put(lens))
+                          jax.device_put(vbits), jax.device_put(lens),
+                          true_len=tl)
 
     # ---- host-side exact fallback (overflowed histograms) ----------------
 
@@ -362,10 +379,13 @@ class SearchPipeline:
         Python driver."""
         from utree_tpu.native import FastaScanner
         from utree_tpu.utils.checkpoint import SearchCheckpoint
+        from utree_tpu.utils.trace import PhaseTimer
 
-        with open(reads_path, "rb") as f:
-            data = f.read()
-        sc = FastaScanner(data)
+        tm = self.tracer if self.tracer is not None else PhaseTimer(quiet=True)
+        with tm.phase("scan"):
+            with open(reads_path, "rb") as f:
+                data = f.read()
+            sc = FastaScanner(data)
         n = sc.num_records
         lens_all = sc.seq_lengths()
         ckpt = SearchCheckpoint(out_path)
@@ -414,19 +434,23 @@ class SearchPipeline:
                 nonlocal done
                 while pending and (block or len(pending) >= queue_depth):
                     first, count, h, npool, noffs = pending.pop(0)
-                    fo.write(finalize_native(first, count, h, npool, noffs))
-                    fo.flush()
-                    done += count
-                    ckpt.commit(done, fo.tell())
+                    with tm.phase("drain+vote"):
+                        lines = finalize_native(first, count, h, npool, noffs)
+                    with tm.phase("write"):
+                        fo.write(lines)
+                        fo.flush()
+                        done += count
+                        ckpt.commit(done, fo.tell())
 
             r = skip
             while r < n:
                 if lens_all[r] > self.long_read_threshold:
                     drain(block=True)
-                    line = self.classify_long_read(sc.record_name(r), sc.record_seq(r))
-                    if line is not None:
-                        fo.write(line + b"\n")
-                    fo.flush()
+                    with tm.phase("long-reads"):
+                        line = self.classify_long_read(sc.record_name(r), sc.record_seq(r))
+                        if line is not None:
+                            fo.write(line + b"\n")
+                        fo.flush()
                     done += 1
                     ckpt.commit(done, fo.tell())
                     r += 1
@@ -440,29 +464,36 @@ class SearchPipeline:
                 lmax = max(lmax, self.index.config.packsize)
                 pad = self.batch_size - count
                 if self._packed:  # 2-bit packing happens in C++ (memcpy speed)
-                    packed, vbits, lens, npool, noffs = sc.pack_2bit(r, count, lmax)
-                    if pad:  # pad rows: one jit shape per lmax
-                        packed = np.pad(packed, ((0, pad), (0, 0)))
-                        vbits = np.pad(vbits, ((0, pad), (0, 0)))
-                        lens = np.pad(lens, (0, pad))
-                    handle = self.dispatch_packed(packed, vbits, lens)
+                    with tm.phase("pack"):
+                        packed, vbits, lens, npool, noffs = sc.pack_2bit(r, count, lmax)
+                        if pad:  # pad rows: one jit shape per lmax
+                            packed = np.pad(packed, ((0, pad), (0, 0)))
+                            vbits = np.pad(vbits, ((0, pad), (0, 0)))
+                            lens = np.pad(lens, (0, pad))
+                    with tm.phase("dispatch"):
+                        handle = self.dispatch_packed(packed, vbits, lens)
                 else:
-                    reads, lens, npool, noffs = sc.pack(r, count, lmax)
-                    if pad:
-                        reads = np.pad(reads, ((0, pad), (0, 0)))
-                        lens = np.pad(lens, (0, pad))
-                    handle = self.dispatch_matrix(reads, lens)
+                    with tm.phase("pack"):
+                        reads, lens, npool, noffs = sc.pack(r, count, lmax)
+                        if pad:
+                            reads = np.pad(reads, ((0, pad), (0, 0)))
+                            lens = np.pad(lens, (0, pad))
+                    with tm.phase("dispatch"):
+                        handle = self.dispatch_matrix(reads, lens)
                 pending.append((r, count, handle, npool, noffs))
                 drain(block=False)
                 r = e
             drain(block=True)
         ckpt.finish()
+        tm.count("reads", n - skip)
         return n
 
     def _search_file_py(self, reads_path: str, out_path: str, queue_depth: int,
                         resume: bool) -> int:
         from utree_tpu.utils.checkpoint import SearchCheckpoint
+        from utree_tpu.utils.trace import PhaseTimer
 
+        tm = self.tracer if self.tracer is not None else PhaseTimer(quiet=True)
         ckpt = SearchCheckpoint(out_path)
         skip, out_bytes = ckpt.load() if resume else (0, 0)
         n = 0
@@ -479,10 +510,13 @@ class SearchPipeline:
                 nonlocal done
                 while pending and (block or len(pending) >= queue_depth):
                     bn, bs, h = pending.pop(0)
-                    fo.write(self.finalize_bytes(bn, bs, h))
-                    fo.flush()
-                    done += len(bn)
-                    ckpt.commit(done, fo.tell())
+                    with tm.phase("drain+vote"):
+                        lines = self.finalize_bytes(bn, bs, h)
+                    with tm.phase("write"):
+                        fo.write(lines)
+                        fo.flush()
+                        done += len(bn)
+                        ckpt.commit(done, fo.tell())
 
             for header, seq in iter_fasta_records(reads_path):
                 n += 1
@@ -505,11 +539,14 @@ class SearchPipeline:
                 names.append(name)
                 seqs.append(seq)
                 if len(seqs) >= self.batch_size:
-                    pending.append((names, seqs, self.dispatch(seqs)))
+                    with tm.phase("dispatch"):
+                        pending.append((names, seqs, self.dispatch(seqs)))
                     names, seqs = [], []
                     drain(block=False)
             if seqs:
-                pending.append((names, seqs, self.dispatch(seqs)))
+                with tm.phase("dispatch"):
+                    pending.append((names, seqs, self.dispatch(seqs)))
             drain(block=True)
         ckpt.finish()
+        tm.count("reads", max(0, n - skip))
         return n
