@@ -99,3 +99,72 @@ def test_fastq_gz_queries(xtoy, tmp_path):
     al.align_file(str(tmp_path / "reads.fq.gz"), AlignOptions(perq_out=str(tmp_path / "fq_perq.tsv")))
     al.align_file(str(xtoy / "reads.fa"), AlignOptions(perq_out=str(tmp_path / "fa_perq.tsv")))
     assert (tmp_path / "fq_perq.tsv").read_bytes() == (tmp_path / "fa_perq.tsv").read_bytes()
+
+
+@pytest.mark.parametrize("conf,full_lca,redist", [
+    (0.33, True, False),
+    (0.95, True, True),   # high confidence forces the deep/aufbau paths
+    (0.95, False, False),  # shallow early-exit branch
+    (0.0, True, True),     # ag_thres = 0 edge (loop runs to the level cap)
+])
+def test_batch_engine_matches_scalar(tmp_path, conf, full_lca, redist):
+    """Property test: the vectorized chunk engine's output bytes equal the
+    literal per-query replay on randomized data that exercises conflicted
+    hits, mutations, random reads, and chunk boundaries."""
+    recs = make_toy_db(str(tmp_path / "refs.fa"), str(tmp_path / "tax.map"),
+                       num_refs=12, ref_len=2500, seed=61, num_lineages=2)
+    make_toy_reads(str(tmp_path / "reads.fa"), recs, num_reads=700,
+                   read_len=100, seed=71, mutate_prob=0.08, random_frac=0.15)
+    rows = [l.split(b"\t") for l in (tmp_path / "tax.map").read_bytes().split(b"\n") if l]
+    with open(tmp_path / "tax3.map", "wb") as f:
+        for i, (k, v) in enumerate(rows):
+            f.write(k + b"\t" + v + b"\tfunc__" + str(i % 4).encode() + b"\n")
+    db = build_xtree_db(str(tmp_path / "refs.fa"), str(tmp_path / "tax3.map"),
+                        k=29, comp=0)
+    al = XtreeAligner(db)
+    al.chunk_queries = 97  # prime -> many ragged chunk boundaries
+
+    def opts(tag):
+        return AlignOptions(
+            confidence=conf, do_full_lca=full_lca, do_redist=redist,
+            perq_out=str(tmp_path / f"{tag}_perq.tsv"),
+            ref_out=str(tmp_path / f"{tag}_ref.tsv"),
+            tax_out=str(tmp_path / f"{tag}_tax.tsv"),
+            cov_out=str(tmp_path / f"{tag}_cov.tsv"))
+
+    al.align_file(str(tmp_path / "reads.fa"), opts("b"))
+    al.align_file_scalar(str(tmp_path / "reads.fa"), opts("s"))
+    for name in ["perq", "ref", "tax", "cov"]:
+        b = (tmp_path / f"b_{name}.tsv").read_bytes()
+        s = (tmp_path / f"s_{name}.tsv").read_bytes()
+        assert b == s, name
+
+
+def test_onepast_hardstop_vs_oracle(tmp_path):
+    """LBS_k can 'hit' one pod PAST the probed bin (the C checks KP[L] at
+    L == bin size); the vote expansion then clamps at the probed bin's
+    hardstop (xtree.c:1108), so such entries count toward tix but tally no
+    refs.  Seeds 307/1307 deterministically produce such a hit."""
+    recs = make_toy_db(str(tmp_path / "refs.fa"), str(tmp_path / "tax.map"),
+                       num_refs=9, ref_len=2800, seed=307)
+    make_toy_reads(str(tmp_path / "reads.fa"), recs, num_reads=400,
+                   read_len=110, seed=1307, mutate_prob=0.05)
+    run_xtree_oracle([
+        "BUILD", "--seqs", str(tmp_path / "refs.fa"), "--map", str(tmp_path / "tax.map"),
+        "--db-out", str(tmp_path / "g.xtr"), "--k", "29", "--comp", "0",
+    ])
+    db = read_xtr(str(tmp_path / "g.xtr"))
+    al = XtreeAligner(db)
+    # precondition: the quirk actually triggers on this input
+    from utree_tpu.xtree.io import iter_queries
+    seqs = [s for _, s in iter_queries(str(tmp_path / "reads.fa"))]
+    qid, pres, seeds = al._batch_hits(seqs)
+    assert (seeds >= al.bins[pres + 1]).any(), "fixture no longer triggers one-past"
+    run_xtree_oracle([
+        "ALIGN", "--db", str(tmp_path / "g.xtr"), "--seqs", str(tmp_path / "reads.fa"),
+        "--perq-out", str(tmp_path / "g_perq.tsv"), "--tax-out", str(tmp_path / "g_tax.tsv"),
+    ])
+    al.align_file(str(tmp_path / "reads.fa"), AlignOptions(
+        perq_out=str(tmp_path / "o_perq.tsv"), tax_out=str(tmp_path / "o_tax.tsv")))
+    for name in ["perq", "tax"]:
+        assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name

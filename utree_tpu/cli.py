@@ -69,6 +69,18 @@ def _cmd_search(a):
             idx = HostIndex.from_ctr(a.db, cfg)
             n = search_file(idx, a.reads, a.out, do_rc=a.rc,
                             support_ranges=a.support_ranges)
+    elif a.num_hosts:
+        from utree_tpu.index import DeviceIndexArrays
+        from utree_tpu.parallel.distributed import (init_distributed,
+                                                    search_file_multihost)
+        from utree_tpu.pipeline import SearchPipeline
+
+        init_distributed(a.coordinator, a.num_hosts, a.host_id)
+        idx = DeviceIndexArrays.from_ctr(a.db, cfg)
+        pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
+                              support_ranges=a.support_ranges,
+                              lookup_mode=a.lookup_mode, tracer=tm)
+        n = search_file_multihost(pipe, a.reads, a.out, resume=a.resume)
     else:
         from utree_tpu.index import DeviceIndexArrays
         from utree_tpu.pipeline import SearchPipeline
@@ -159,6 +171,12 @@ def main(argv=None):
                    help="device table layout (auto picks by DB size)")
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")
+    s.add_argument("--num-hosts", dest="num_hosts", type=int, default=0,
+                   help="multi-host mode: total process count (one per host); "
+                   "requires --host-id and --coordinator, shared filesystem")
+    s.add_argument("--host-id", dest="host_id", type=int, default=None)
+    s.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (jax.distributed)")
     s.add_argument("--trace", action="store_true",
                    help="print per-phase timings + reads/s/chip (the "
                    "reference's omp_get_wtime narration, xtree.c:289-473)")

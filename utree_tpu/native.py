@@ -27,12 +27,20 @@ def _compile(src: str, out: str) -> pathlib.Path | None:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(cpp), "-o", str(so)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+             str(cpp), "-o", str(so)],
             check=True, capture_output=True,
         )
         return so
     except Exception:
-        return None
+        try:  # toolchains without OpenMP still get the serial build
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(cpp), "-o", str(so)],
+                check=True, capture_output=True,
+            )
+            return so
+        except Exception:
+            return None
 
 
 def vote_lib():
@@ -114,10 +122,12 @@ class FastaScanner:
     def seq_lengths(self) -> np.ndarray:
         return self.recs[:, 3] - self.recs[:, 2]
 
-    def pack(self, first: int, count: int, lmax: int):
-        """(reads (count,lmax) u8, lens i32, name_pool bytes, name_offsets)"""
-        reads = np.zeros((count, lmax), np.uint8)
-        lens = np.zeros(count, np.int32)
+    def pack(self, first: int, count: int, lmax: int, rows: int | None = None):
+        """(reads (rows,lmax) u8, lens i32, name_pool bytes, name_offsets);
+        rows > count pre-pads the batch (pad rows stay zero, no np.pad copy)."""
+        rows = count if rows is None else max(rows, count)
+        reads = np.zeros((rows, lmax), np.uint8)
+        lens = np.zeros(rows, np.int32)
         name_offsets = np.zeros(count + 1, np.int64)
         cap = int((self.recs[first : first + count, 1] - self.recs[first : first + count, 0]).sum() + count + 16)
         pool = ctypes.create_string_buffer(cap)
@@ -129,14 +139,16 @@ class FastaScanner:
             raise ValueError(f"pack error {used}")
         return reads, lens, pool.raw[:used], name_offsets
 
-    def pack_2bit(self, first: int, count: int, lmax: int):
-        """(packed (count,lmax/4) u8, vbits (count,lmax/8) u8, lens i32,
+    def pack_2bit(self, first: int, count: int, lmax: int, rows: int | None = None):
+        """(packed (rows,lmax/4) u8, vbits (rows,lmax/8) u8, lens i32,
         name_pool bytes, name_offsets) — bit-identical to
-        lookup.pack_reads_host over the ASCII matrix, done in C++."""
+        lookup.pack_reads_host over the ASCII matrix, done in C++.
+        rows > count pre-pads the batch (pad rows stay zero, no np.pad copy)."""
         assert lmax % 8 == 0
-        packed = np.zeros((count, lmax // 4), np.uint8)
-        vbits = np.zeros((count, lmax // 8), np.uint8)
-        lens = np.zeros(count, np.int32)
+        rows = count if rows is None else max(rows, count)
+        packed = np.zeros((rows, lmax // 4), np.uint8)
+        vbits = np.zeros((rows, lmax // 8), np.uint8)
+        lens = np.zeros(rows, np.int32)
         name_offsets = np.zeros(count + 1, np.int64)
         cap = int((self.recs[first : first + count, 1] - self.recs[first : first + count, 0]).sum() + count + 16)
         pool = ctypes.create_string_buffer(cap)

@@ -56,3 +56,69 @@ def merge_sample_tallies(local_tally: np.ndarray, mesh) -> np.ndarray:
             jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P())
         )(jnp.asarray(local_tally))
     )
+
+
+def count_fasta_records(path: str, chunk_bytes: int = 64 << 20) -> int:
+    """Record count of a linearized FASTA, streamed (every host needs the
+    total to compute its slice)."""
+    n = 0
+    first = True
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                return n
+            if first:
+                first = False
+                if chunk.startswith(b">"):
+                    n += 1
+            n += chunk.count(b"\n>")
+
+
+def search_file_multihost(pipe, reads_path: str, out_path: str, *,
+                          resume: bool = False) -> int:
+    """Multi-host search driver — the end-to-end form of BASELINE's
+    "report at N>=2 hosts".
+
+    Every process (one per host; `init_distributed` first) takes the
+    contiguous record range `host_read_range` gives it, runs its own
+    SearchPipeline over that slice into `<out>.part<h>`, and host 0
+    concatenates the parts in host order — records are partitioned
+    contiguously and each line's content depends only on its read, so the
+    merged bytes equal a single-host run exactly.  Per-host classified/read
+    counts merge with an exact integer psum (merge_sample_tallies).
+
+    Requires a shared filesystem across hosts (the standard TPU-pod setup);
+    the reads file must be plain FASTA (range partitioning seeks by record).
+    Returns the number of records this host searched."""
+    import pathlib
+
+    from jax.sharding import Mesh
+
+    total = count_fasta_records(reads_path)
+    h = jax.process_index()
+    nh = jax.process_count()
+    lo, hi = host_read_range(total)
+    part = f"{out_path}.part{h}"
+    n = pipe.search_file(reads_path, part, resume=resume, record_range=(lo, hi))
+
+    # count lines written (classified reads) for the merged tally
+    lines = 0
+    with open(part, "rb") as f:
+        for _ in f:
+            lines += 1
+
+    devices = np.array(jax.devices()).reshape(-1, 1)
+    mesh = Mesh(devices, ("data", "table"))
+    merged = merge_sample_tallies(np.array([n, lines], np.int64), mesh)
+
+    # the collective above is also the barrier: every host has written and
+    # closed its part before any host reaches this point
+    if h == 0:
+        with open(out_path, "wb") as fo:
+            for i in range(nh):
+                p = pathlib.Path(f"{out_path}.part{i}")
+                fo.write(p.read_bytes())
+        print(f"multihost: {int(merged[0])} reads searched, "
+              f"{int(merged[1])} classified across {nh} hosts")
+    return n

@@ -359,45 +359,139 @@ class SearchPipeline:
     # ---- streaming driver ----------------------------------------------------
 
     def search_file(self, reads_path: str, out_path: str, queue_depth: int = 3,
-                    resume: bool = False) -> int:
+                    resume: bool = False,
+                    record_range: tuple[int, int] | None = None) -> int:
         """Stream reads -> classifications.  With resume=True, continues an
         interrupted run from the last committed batch boundary (sidecar
         <out>.ckpt); the final output bytes equal an uninterrupted run.
+        record_range=(lo, hi) processes only that slice of the file's records
+        (the multi-host partition; parallel.distributed.host_read_range).
         Plain (non-gz) files with the native runtime available take the
         C++-scanner fast path."""
         if not str(reads_path).endswith(".gz") and self._vote_engine is not None:
             from utree_tpu.native import fasta_lib
 
             if fasta_lib() is not None:
-                return self._search_file_native(reads_path, out_path, queue_depth, resume)
-        return self._search_file_py(reads_path, out_path, queue_depth, resume)
+                return self._search_file_native(reads_path, out_path, queue_depth,
+                                                resume, record_range)
+        return self._search_file_py(reads_path, out_path, queue_depth, resume,
+                                    record_range)
+
+    # streamed ingestion: pieces of ~this many bytes are scanned/packed by a
+    # producer thread while the device works — search RSS is O(chunk), not
+    # O(file) (the reference streams with fgets/gz chunks, itree.c:867-875;
+    # xtree.c:180-204), and the scan/pack time leaves the critical path
+    stream_chunk_bytes: int = 256 << 20
+
+    def _iter_fasta_pieces(self, reads_path: str, tm):
+        """Yield FastaScanner pieces covering the file in order.  Pieces are
+        cut at record boundaries ('\\n>'), so every record lives in exactly
+        one piece; a record larger than the chunk grows the tail until its
+        end arrives (max query is 16Mb, itree.c:836)."""
+        from utree_tpu.native import FastaScanner
+
+        chunk_bytes = max(1 << 16, self.stream_chunk_bytes)
+        with open(reads_path, "rb") as f:
+            tail = b""
+            while True:
+                with tm.phase("scan"):
+                    chunk = f.read(chunk_bytes)
+                if not chunk:
+                    if tail:
+                        with tm.phase("scan"):
+                            sc = FastaScanner(tail)
+                        yield sc  # outside the phase: the consumer's work is not scan time
+                    return
+                data = tail + chunk
+                if len(chunk) == chunk_bytes:  # likely more data follows
+                    cut = data.rfind(b"\n>")
+                    if cut == -1:
+                        tail = data  # one record spans the chunk: keep growing
+                        continue
+                    piece, tail = data[: cut + 1], data[cut + 1 :]
+                else:
+                    piece, tail = data, b""
+                if piece:
+                    with tm.phase("scan"):
+                        sc = FastaScanner(piece)
+                    yield sc
 
     def _search_file_native(self, reads_path: str, out_path: str,
-                            queue_depth: int, resume: bool) -> int:
-        """C++-scanned driver: record table once, batches packed in C++,
-        pooled names straight into the C++ vote.  Output identical to the
-        Python driver."""
-        from utree_tpu.native import FastaScanner
+                            queue_depth: int, resume: bool,
+                            record_range: tuple[int, int] | None = None) -> int:
+        """C++-scanned streaming driver: file pieces are scanned and batches
+        packed in C++, dispatch is asynchronous, and finished batches start
+        their device->host copy early (copy_to_host_async) so the drain never
+        blocks on the transfer.  Output identical to the Python driver.
+
+        (A producer-thread variant was measured SLOWER on the axon-tunneled
+        backend: the tunnel readback holds the GIL, starving the producer —
+        so scan/pack run inline and the overlap comes from the async
+        dispatch + async readback instead.)"""
         from utree_tpu.utils.checkpoint import SearchCheckpoint
         from utree_tpu.utils.trace import PhaseTimer
 
         tm = self.tracer if self.tracer is not None else PhaseTimer(quiet=True)
-        with tm.phase("scan"):
-            with open(reads_path, "rb") as f:
-                data = f.read()
-            sc = FastaScanner(data)
-        n = sc.num_records
-        lens_all = sc.seq_lengths()
         ckpt = SearchCheckpoint(out_path)
         skip, out_bytes = ckpt.load() if resume else (0, 0)
+        range_lo, range_hi = record_range if record_range is not None else (0, None)
+        skip += range_lo  # ckpt's `done` counts records from the range start
         mode = "r+b" if resume and pathlib.Path(out_path).exists() else "wb"
-        pending: list[tuple[int, int, object, bytes, np.ndarray]] = []
+        pending: list[tuple] = []
+        threshold = self.long_read_threshold
+        packsize = self.index.config.packsize
+
+        def batches():
+            r_global = 0
+            for sc in self._iter_fasta_pieces(reads_path, tm):
+                if range_hi is not None and r_global >= range_hi:
+                    break
+                n_piece = sc.num_records
+                lens_all = sc.seq_lengths()
+                r = 0
+                while r < n_piece:
+                    if range_hi is not None and r_global >= range_hi:
+                        break
+                    if r_global < skip:  # resume / range: skip records
+                        adv = int(min(n_piece - r, skip - r_global))
+                        r += adv
+                        r_global += adv
+                        continue
+                    if lens_all[r] > threshold:
+                        yield ("long", sc.record_name(r), sc.record_seq(r))
+                        r += 1
+                        r_global += 1
+                        continue
+                    e = r
+                    while (e < n_piece and e - r < self.batch_size
+                           and lens_all[e] <= threshold):
+                        if range_hi is not None and r_global + (e - r) >= range_hi:
+                            break
+                        e += 1
+                    count = e - r
+                    with tm.phase("pack"):
+                        lmax = max(_bucket_len64(int(lens_all[r:e].max())), packsize)
+                        # pack directly into batch_size rows (pad rows stay
+                        # zero): one jit shape per lmax, no np.pad copies
+                        if self._packed:  # 2-bit packing in C++ (memcpy speed)
+                            packed, vbits, lens, npool, noffs = sc.pack_2bit(
+                                r, count, lmax, rows=self.batch_size)
+                            arrays = (packed, vbits, lens)
+                        else:
+                            reads, lens, npool, noffs = sc.pack(
+                                r, count, lmax, rows=self.batch_size)
+                            arrays = (reads, lens)
+                    yield ("batch", sc, r, count, arrays, npool, noffs)
+                    r = e
+                    r_global += count
+            yield ("eof", min(r_global, range_hi) if range_hi is not None else r_global)
+
         with open(out_path, mode) as fo:
             fo.truncate(out_bytes)
             fo.seek(out_bytes)
             done = skip
 
-            def finalize_native(first, count, h, name_pool, name_offsets):
+            def finalize_native(sc, first, count, h, name_pool, name_offsets):
                 labels, counts, nuniq, found = self._unpack(h)
                 labels, counts, nuniq = labels[:count], counts[:count], nuniq[:count]
                 nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
@@ -420,12 +514,12 @@ class SearchPipeline:
                     flat_l = np.empty(int(offsets[-1]), np.int32)
                     flat_c = np.empty(int(offsets[-1]), np.int32)
                     for i in range(count):
-                        lo, hi = offsets[i], offsets[i + 1]
+                        a, b = offsets[i], offsets[i + 1]
                         if i in extra:
-                            flat_l[lo:hi], flat_c[lo:hi] = extra[i]
+                            flat_l[a:b], flat_c[a:b] = extra[i]
                         else:
-                            flat_l[lo:hi] = labels[i, : nu[i]]
-                            flat_c[lo:hi] = counts[i, : nu[i]]
+                            flat_l[a:b] = labels[i, : nu[i]]
+                            flat_c[a:b] = counts[i, : nu[i]]
                 return self._vote_engine.vote_batch_pooled(
                     count, name_pool, name_offsets[:-1], offsets, flat_l, flat_c
                 )
@@ -433,69 +527,59 @@ class SearchPipeline:
             def drain(block: bool):
                 nonlocal done
                 while pending and (block or len(pending) >= queue_depth):
-                    first, count, h, npool, noffs = pending.pop(0)
+                    sc, first, count, h, npool, noffs = pending.pop(0)
                     with tm.phase("drain+vote"):
-                        lines = finalize_native(first, count, h, npool, noffs)
+                        lines = finalize_native(sc, first, count, h, npool, noffs)
                     with tm.phase("write"):
                         fo.write(lines)
                         fo.flush()
                         done += count
                         ckpt.commit(done, fo.tell())
 
-            r = skip
-            while r < n:
-                if lens_all[r] > self.long_read_threshold:
-                    drain(block=True)
+            n = skip
+            for item in batches():
+                kind = item[0]
+                if kind == "eof":
+                    n = item[1]
+                    break
+                if kind == "long":
+                    drain(block=True)  # keep output in read order
                     with tm.phase("long-reads"):
-                        line = self.classify_long_read(sc.record_name(r), sc.record_seq(r))
+                        line = self.classify_long_read(item[1], item[2])
                         if line is not None:
                             fo.write(line + b"\n")
                         fo.flush()
                     done += 1
                     ckpt.commit(done, fo.tell())
-                    r += 1
                     continue
-                # contiguous run of short records
-                e = r
-                while e < n and e - r < self.batch_size and lens_all[e] <= self.long_read_threshold:
-                    e += 1
-                count = e - r
-                lmax = _bucket_len64(int(lens_all[r:e].max()))
-                lmax = max(lmax, self.index.config.packsize)
-                pad = self.batch_size - count
-                if self._packed:  # 2-bit packing happens in C++ (memcpy speed)
-                    with tm.phase("pack"):
-                        packed, vbits, lens, npool, noffs = sc.pack_2bit(r, count, lmax)
-                        if pad:  # pad rows: one jit shape per lmax
-                            packed = np.pad(packed, ((0, pad), (0, 0)))
-                            vbits = np.pad(vbits, ((0, pad), (0, 0)))
-                            lens = np.pad(lens, (0, pad))
-                    with tm.phase("dispatch"):
-                        handle = self.dispatch_packed(packed, vbits, lens)
-                else:
-                    with tm.phase("pack"):
-                        reads, lens, npool, noffs = sc.pack(r, count, lmax)
-                        if pad:
-                            reads = np.pad(reads, ((0, pad), (0, 0)))
-                            lens = np.pad(lens, (0, pad))
-                    with tm.phase("dispatch"):
-                        handle = self.dispatch_matrix(reads, lens)
-                pending.append((r, count, handle, npool, noffs))
+                _, sc, first, count, arrays, npool, noffs = item
+                with tm.phase("dispatch"):
+                    if self._packed:
+                        handle = self.dispatch_packed(*arrays)
+                    else:
+                        handle = self.dispatch_matrix(*arrays)
+                    try:  # start the D->H copy as soon as compute finishes
+                        handle.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                pending.append((sc, first, count, handle, npool, noffs))
                 drain(block=False)
-                r = e
             drain(block=True)
         ckpt.finish()
         tm.count("reads", n - skip)
-        return n
+        return n - range_lo
 
     def _search_file_py(self, reads_path: str, out_path: str, queue_depth: int,
-                        resume: bool) -> int:
+                        resume: bool,
+                        record_range: tuple[int, int] | None = None) -> int:
         from utree_tpu.utils.checkpoint import SearchCheckpoint
         from utree_tpu.utils.trace import PhaseTimer
 
         tm = self.tracer if self.tracer is not None else PhaseTimer(quiet=True)
         ckpt = SearchCheckpoint(out_path)
         skip, out_bytes = ckpt.load() if resume else (0, 0)
+        lo, hi = record_range if record_range is not None else (0, None)
+        skip += lo  # ckpt's `done` counts records from the range start
         n = 0
         pending: list[tuple[list[bytes], list[bytes], object]] = []
         names: list[bytes] = []
@@ -519,6 +603,8 @@ class SearchPipeline:
                         ckpt.commit(done, fo.tell())
 
             for header, seq in iter_fasta_records(reads_path):
+                if hi is not None and n >= hi:
+                    break
                 n += 1
                 if n <= skip:
                     continue
@@ -549,4 +635,4 @@ class SearchPipeline:
             drain(block=True)
         ckpt.finish()
         tm.count("reads", max(0, n - skip))
-        return n
+        return n - lo

@@ -87,6 +87,10 @@ class AlignOptions:
 
 
 class XtreeAligner:
+    #: queries per vectorized tally chunk (the hot loops run flat across a
+    #: whole chunk; per-query Python work is O(1) string formatting)
+    chunk_queries: int = 8192
+
     def __init__(self, db: XtreeDB):
         self.db = db
         self.k = db.pl + db.sl
@@ -106,6 +110,10 @@ class XtreeAligner:
             brk[1:n] = (self.sfx[1:n] != self.sfx[: n - 1]) | (bin_of[1:] != bin_of[:-1])
         ends = np.flatnonzero(brk)
         self.run_end = np.repeat(ends[1:], np.diff(ends))
+        # sentinel seed (pod n) has no run data; empty run keeps the batch
+        # expansion in-bounds (the scalar replay would index out of range,
+        # i.e. the case never occurs on real DBs)
+        self.run_end_ext = np.concatenate([self.run_end, [n]]).astype(np.int64)
         self.h_strings = db.h_strings
         self.h_pairs = db.h_pairs
         self.n_uniq_h = (len(db.h_strings[0]), len(db.h_strings[1]))
@@ -156,7 +164,13 @@ class XtreeAligner:
         return pre_all[hit], seed_all[hit], len(xs)
 
     def _lookup(self, pre: np.ndarray, suf: np.ndarray) -> np.ndarray:
-        """LBS_k lower bound per bin (xtree.c:170-178); -1 = miss."""
+        """LBS_k lower bound per bin (xtree.c:170-178); -1 = miss.
+
+        Masked data-parallel bisection: most 26-bit prefix bins are EMPTY
+        (those lanes exit after zero iterations), so the loop runs only
+        log2(max bin size) passes — measured ~6x faster than one global
+        searchsorted over (bin, suffix) keys, which pays log2(num_pods)
+        steps on every lane."""
         lo = self.bins[pre]
         hi = self.bins[pre + 1]
         empty = lo >= hi
@@ -171,16 +185,208 @@ class XtreeAligner:
         found = (~empty) & (self.sfx[np.minimum(l, len(self.sfx) - 1)] == suf)
         return np.where(found, l, -1)
 
+    # ---- batch (vectorized) engine ----------------------------------------
+    # The per-seed dict loops below (_ref_tally/_h_tally/_max2) are the
+    # exactness spec, replaying xtree.c literally; these flat NumPy versions
+    # produce identical tallies for a whole chunk of queries at once (the
+    # data-parallel re-design of the OpenMP hot loop, xtree.c:1002-1120).
+    # Order-dependence notes:
+    #   * _max2/_h_max2 tie-break = smallest id among max-count entries and
+    #     mx2 = second-largest count WITH multiplicity -> order-independent;
+    #   * aufbau's lwin and the redistribution candidate lists follow dict
+    #     INSERTION order = first-encounter order in scan order, so the
+    #     batch forms carry a first-occurrence flat index per (query, taxon).
+
+    def _batch_hits(self, seqs: list[bytes]):
+        """Seed hits for a chunk: (qid, prefix, seed) int64 arrays in
+        per-query scan order (position asc, fwd before rc, xtree.c:1024-1081);
+        the probed prefix bounds the vote expansion (hardstop)."""
+        k, pl, sl = self.k, self.pl, self.sl
+        Q = len(seqs)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, Q)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        codes = encode_bases(b"".join(seqs)).astype(np.int64)
+        valid = codes <= 3
+        inv = np.concatenate(([0], np.cumsum(~valid).astype(np.int64)))
+        cc = np.where(valid, codes, 0)
+        rc = 3 - cc
+        wn = np.maximum(lens - k + 1, 0)
+        tot = int(wn.sum())
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+        if tot == 0:
+            return empty
+        qid_x = np.repeat(np.arange(Q), wn)
+        cw = np.cumsum(wn) - wn
+        xs = np.arange(tot) - cw[qid_x] + starts[qid_x]
+        ok = (inv[xs + k] - inv[xs]) == 0
+        xs, qid_x = xs[ok], qid_x[ok]
+        if len(xs) == 0:
+            return empty
+        # doubling pyramids: k gathers/word -> log2(k) contiguous combines +
+        # ~3 gathers/word.  W[t][i] = word of codes[i : i+2^t] read forward;
+        # R[t][i] = word of rc[i : i+2^t] read REVERSED (high bits = last
+        # base) — the reference's rolling encode (xtree.c:1002-1030), made
+        # data-parallel.
+        top = max(pl, sl).bit_length()
+        N = len(cc)
+        W = [cc]
+        R = [rc]
+        for t in range(1, top):
+            h = 1 << (t - 1)
+            w = np.zeros(N, np.int64)
+            r = np.zeros(N, np.int64)
+            np.left_shift(W[-1][: N - h], 2 * h, out=w[: N - h])
+            w[: N - h] |= W[-1][h:]
+            np.left_shift(R[-1][h:], 2 * h, out=r[: N - h])
+            r[: N - h] |= R[-1][: N - h]
+            W.append(w)
+            R.append(r)
+
+        def fwd(L, base):
+            w = np.zeros(len(xs), np.int64)
+            off = 0
+            for t in range(top - 1, -1, -1):
+                if (L >> t) & 1:
+                    w = (w << (2 << t)) | W[t][xs + base + off]
+                    off += 1 << t
+            return w
+
+        def rev(L, base):
+            w = np.zeros(len(xs), np.int64)
+            off = 0
+            for t in range(top):
+                if (L >> t) & 1:
+                    w |= R[t][xs + base + off] << (2 * off)
+                    off += 1 << t
+            return w
+
+        pre_f = fwd(pl, 0)
+        suf_f = fwd(sl, pl)
+        pre_r = rev(pl, sl)
+        suf_r = rev(sl, 0)
+        seeds_f = self._lookup(pre_f, suf_f)
+        seeds_r = self._lookup(pre_r, suf_r)
+        seed_all = np.stack([seeds_f, seeds_r], axis=1).reshape(-1)
+        pre_all = np.stack([pre_f, pre_r], axis=1).reshape(-1)
+        qid_all = np.repeat(qid_x, 2)
+        hit = seed_all >= 0
+        return qid_all[hit], pre_all[hit], seed_all[hit]
+
+    def _expand(self, seeds: np.ndarray, pres: np.ndarray):
+        """CSR expansion of equal-suffix runs: per seed entry s probed in
+        prefix bin p, the pods [s, min(run_end(s), bins[p+1])) — the C
+        clamps every expansion at the PROBED bin's end (hardstop,
+        xtree.c:1108), so a one-past LBS_k hit expands to an EMPTY run.
+        Returns (sid, off, j): entry id, offset in run, global pod index."""
+        L = np.maximum(
+            np.minimum(self.run_end_ext[seeds], self.bins[pres + 1]) - seeds, 0)
+        tot = int(L.sum())
+        sid = np.repeat(np.arange(len(seeds)), L)
+        cs = np.cumsum(L) - L
+        off = np.arange(tot) - cs[sid]
+        j = seeds[sid] + off
+        return sid, off, j
+
+    @staticmethod
+    def _group_minmax(qv, cv, tiev, Q):
+        """Per-query (mx, mx2, widx) from (query, count, tiebreak) triples:
+        mx = max count; mx2 = second-largest count WITH multiplicity; widx =
+        index (into the input arrays) of the entry with min tiebreak among
+        count == mx, or -1 when the query has no entries."""
+        mx = np.zeros(Q, np.int64)
+        mx2 = np.zeros(Q, np.int64)
+        widx = np.full(Q, -1, np.int64)
+        if len(qv) == 0:
+            return mx, mx2, widx
+        order = np.lexsort((tiev, -cv, qv))
+        qs = qv[order]
+        s0 = np.searchsorted(qs, np.arange(Q), "left")
+        s1 = np.searchsorted(qs, np.arange(Q), "right")
+        has = s1 > s0
+        i0 = np.minimum(s0, len(qs) - 1)
+        csorted = cv[order]
+        mx = np.where(has, csorted[i0], 0)
+        widx = np.where(has, order[i0], -1)
+        i1 = np.minimum(s0 + 1, len(qs) - 1)
+        mx2 = np.where(s1 - s0 >= 2, csorted[i1], 0)
+        return mx, mx2, widx
+
+    def _batch_ref_tally(self, qid_h, pres_h, seeds_h, Q):
+        """Vectorized _ref_tally + _max2.  Returns (mx, mx2, mix, rt) where
+        rt holds the per-(query, ref) CSR (sorted by key), the insertion-order
+        key `first`, and the run expansion for the coverage pass."""
+        R = self.db.num_refs
+        sid, off, j = self._expand(seeds_h, pres_h)
+        rx = self.rix[j]
+        keep = (off == 0) | (rx != self.rix[j - 1])  # consecutive in-run dedupe
+        kidx = np.flatnonzero(keep)
+        key = qid_h[sid[kidx]] * R + rx[kidx]
+        uniq, first, counts = np.unique(key, return_index=True, return_counts=True)
+        qu = uniq // R
+        rxu = uniq - qu * R
+        mx, mx2, widx = self._group_minmax(qu, counts, rxu, Q)
+        mix = np.where(widx >= 0, rxu[np.maximum(widx, 0)], -1)
+
+        class RT:
+            pass
+
+        rt = RT()
+        rt.R, rt.qu, rt.rxu, rt.counts, rt.uniq = R, qu, rxu, counts, uniq
+        rt.first = kidx[first]  # flat index = dict-insertion order key
+        rt.sid, rt.j, rt.rx = sid, j, rx
+        return mx, mx2, mix, rt
+
+    def _batch_h_tally(self, qid_h, pres_h, seeds_h, hmap, Hn, Q, lbin=None):
+        """Vectorized _h_tally (lbin=None) / _h_tally_lbins: counts per
+        (query, taxon) with per-seed-entry dedupe.  Returns (q2, h2, c2,
+        ins2) where ins2 is the global first-encounter flat index — the dict
+        insertion-order key."""
+        sid, off, j = self._expand(seeds_h, pres_h)
+        h = hmap[self.rix[j]]
+        if lbin is not None:
+            h = lbin[h]
+            m = np.flatnonzero(h != -1)
+        else:
+            m = np.arange(len(h), dtype=np.int64)
+        z = np.zeros(0, np.int64)
+        if len(m) == 0:
+            return z, z, z, z
+        key1 = sid[m] * Hn + h[m]
+        u1, f1 = np.unique(key1, return_index=True)  # per-entry taxon dedupe
+        sid1 = u1 // Hn
+        h1 = u1 - sid1 * Hn
+        ins1 = m[f1]  # first flat occurrence per (entry, taxon)
+        key2 = qid_h[sid1] * Hn + h1
+        # u1 is sorted by (sid, taxon), so key2's first occurrence of a
+        # (query, taxon) is its smallest sid -> ins1 there is the global
+        # first-encounter index (flat order increases with sid)
+        u2, i2, c2 = np.unique(key2, return_index=True, return_counts=True)
+        q2 = u2 // Hn
+        h2 = u2 - q2 * Hn
+        ins2 = ins1[i2]
+        return q2, h2, c2, ins2
+
+    @staticmethod
+    def _group_lists(qv, vals, inskey, Q):
+        """Per-query Python lists of `vals` in insertion order (for the
+        redistribution candidate bins)."""
+        o = np.lexsort((inskey, qv))
+        qs = qv[o]
+        vs = vals[o]
+        bounds = np.searchsorted(qs, np.arange(Q + 1))
+        return [vs[bounds[q]:bounds[q + 1]].tolist() for q in range(Q)]
+
     # ---- per-query voting -------------------------------------------------
 
-    def _ref_tally(self, seeds: np.ndarray):
+    def _ref_tally(self, seeds: np.ndarray, pres: np.ndarray):
         """Distinct-ref counts per query (xtree.c:1104-1120): per SBin entry,
-        expand the equal-suffix run, counting each ref once per CONSECUTIVE
-        occurrence (in-ref copies dedupe via prev_rix)."""
+        expand the equal-suffix run (clamped at the probed bin's hardstop),
+        counting each ref once per CONSECUTIVE occurrence (in-ref copies
+        dedupe via prev_rix)."""
         rbin: dict[int, int] = {}
-        for s in seeds:
+        for s, p in zip(seeds, pres):
             prev = -1
-            for j in range(s, self.run_end[s]):
+            for j in range(s, min(self.run_end[s], self.bins[p + 1])):
                 rx = int(self.rix[j])
                 if rx == prev:
                     continue
@@ -202,24 +408,25 @@ class XtreeAligner:
                 mx2 = c
         return mx, mx2, (-1 if mix == 0xFFFFFFFF else mix)
 
-    def _h_tally(self, seeds: np.ndarray, hmap: np.ndarray):
+    def _h_tally(self, seeds: np.ndarray, pres: np.ndarray, hmap: np.ndarray):
         """Per-entry-deduped taxon counts (the sign trick, xtree.c:1200-1215):
         each SBin entry contributes at most 1 to each taxon."""
         hbin: dict[int, int] = {}
-        for s in seeds:
+        for s, p in zip(seeds, pres):
             seen = set()
-            for j in range(s, self.run_end[s]):
+            for j in range(s, min(self.run_end[s], self.bins[p + 1])):
                 h = int(hmap[int(self.rix[j])])
                 if h not in seen:
                     seen.add(h)
                     hbin[h] = hbin.get(h, 0) + 1
         return hbin
 
-    def _h_tally_lbins(self, seeds: np.ndarray, hmap: np.ndarray, lbin: np.ndarray):
+    def _h_tally_lbins(self, seeds: np.ndarray, pres: np.ndarray,
+                       hmap: np.ndarray, lbin: np.ndarray):
         hbin: dict[int, int] = {}
-        for s in seeds:
+        for s, p in zip(seeds, pres):
             seen = set()
-            for j in range(s, self.run_end[s]):
+            for j in range(s, min(self.run_end[s], self.bins[p + 1])):
                 h = int(hmap[int(self.rix[j])])
                 f = int(lbin[h])
                 if f == -1:
@@ -247,6 +454,192 @@ class XtreeAligner:
     # ---- main driver --------------------------------------------------------
 
     def align_file(self, reads_path: str, opts: AlignOptions):
+        """Batch driver: queries stream in chunks, tallies run flat across
+        each chunk (NumPy), and only O(1) branch/format work per query stays
+        in Python.  Output bytes identical to align_file_scalar (property- and
+        golden-tested)."""
+        from utree_tpu.xtree.io import iter_queries
+
+        db = self.db
+        results: list[list[int]] = []
+        cbins = ([], [], [])
+        perq_lines = [] if opts.perq_out else None
+        query_aligns = np.zeros(db.num_kmers + 1, np.int64)
+        full_query_aligns = np.zeros(db.num_refs, np.int64)
+
+        heads: list[bytes] = []
+        seqs: list[bytes] = []
+        for qhed, seq in iter_queries(reads_path):
+            heads.append(qhed)
+            seqs.append(seq)
+            if len(seqs) >= self.chunk_queries:
+                self._align_chunk(heads, seqs, opts, results, cbins, perq_lines,
+                                  query_aligns, full_query_aligns)
+                heads, seqs = [], []
+        if seqs:
+            self._align_chunk(heads, seqs, opts, results, cbins, perq_lines,
+                              query_aligns, full_query_aligns)
+
+        master = np.array(results, np.int64) if results else np.zeros((0, 3), np.int64)
+        if opts.do_redist:
+            self._redistribute(master, cbins, opts)
+        self._write_outputs(master, opts, perq_lines, query_aligns, full_query_aligns)
+        return master
+
+    def _align_chunk(self, heads, seqs, opts, results, cbins, perq_lines,
+                     query_aligns, full_query_aligns):
+        Q = len(seqs)
+        nuh = self.n_uniq_h
+        conf = opts.confidence
+        qid_h, pres_h, seeds_h = self._batch_hits(seqs)
+        tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
+        mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
+        matched = (tix > 0) & (mix != -1) & (mx >= opts.n_uniq_matches)
+
+        if opts.cov_out:
+            # query_aligns[s] += 1 per run entry (NOT deduped) whose ref is at
+            # max count (seed index, not pod — xtree.c:1158)
+            cnt_flat = rt.counts[np.searchsorted(rt.uniq, qid_h[rt.sid] * rt.R + rt.rx)]
+            hot = (cnt_flat == mx[qid_h[rt.sid]]) & matched[qid_h[rt.sid]]
+            np.add.at(query_aligns, seeds_h[rt.sid[hot]], 1)
+            um = (rt.counts == mx[rt.qu]) & matched[rt.qu]
+            np.add.at(full_query_aligns, rt.rxu[um], 1)
+
+        cand0 = cand1 = cand2 = None
+        if opts.do_redist:
+            sel = np.flatnonzero((rt.counts == mx[rt.qu]) & matched[rt.qu])
+            cand0 = self._group_lists(rt.qu[sel], rt.rxu[sel], rt.first[sel], Q)
+            cand1 = [[] for _ in range(Q)]
+            cand2 = [[] for _ in range(Q)]
+
+        frac = mx / np.maximum(tix, 1)
+        early = matched & ((mx2 == 0) | ((mx > mx2) & (frac >= conf)))
+        deep = np.flatnonzero(matched & ~early)
+
+        mb = np.full((Q, 3), -1, np.int64)
+        mb[matched, 0] = mix[matched]
+        # perq taxonomy per query: (string index, level); ix -1 = empty
+        ft_ix = np.full((Q, 2), -1, np.int64)
+        ft_lv = np.zeros((Q, 2), np.int64)  # 0 = full string, >0 = cut level
+
+        e = np.flatnonzero(early)
+        for h in range(2):
+            if self.h_strings[h]:
+                hp = self.h_pairs[h][mix[e]].astype(np.int64)
+                ft_ix[e, h] = hp
+                if opts.tax_out:
+                    mb[e, h + 1] = hp
+                if opts.do_redist:
+                    cl = (cand1, cand2)[h]
+                    for q, t in zip(e, hp):
+                        cl[q].append(int(t))
+
+        if len(deep):
+            inq = np.zeros(Q, bool)
+            inq[deep] = True
+            sub = inq[qid_h]
+            qid_sub = qid_h[sub]
+            pres_sub = pres_h[sub]
+            seeds_sub = seeds_h[sub]
+            for h in range(2):
+                if not self.h_strings[h]:
+                    break
+                Hn = nuh[h]
+                q2, h2, c2, ins2 = self._batch_h_tally(
+                    qid_sub, pres_sub, seeds_sub, self.h_pairs[h], Hn, Q)
+                hmx, hmx2, hwidx = self._group_minmax(q2, c2, h2, Q)
+                hmix = np.where(hwidx >= 0, h2[np.maximum(hwidx, 0)], -1)
+                if opts.do_redist:
+                    sel = np.flatnonzero(c2 == hmx[q2])
+                    glists = self._group_lists(q2[sel], h2[sel], ins2[sel], Q)
+                    cl = (cand1, cand2)[h]
+                    for q in deep:
+                        cl[q].extend(glists[q])
+                shallow = (hmx2[deep] == 0) | (
+                    (not opts.do_full_lca)
+                    & (hmx[deep] > hmx2[deep])
+                    & (hmx[deep] / np.maximum(tix[deep], 1) >= conf))
+                sq = deep[shallow]
+                ft_ix[sq, h] = hmix[sq]
+                d2 = deep[~shallow]
+                if len(d2):
+                    self._batch_aufbau(d2, qid_sub, pres_sub, seeds_sub, h, Hn,
+                                       Q, tix, conf, mb, ft_ix, ft_lv, opts)
+
+        # ---- per-query output/bookkeeping (O(1) each) ----
+        for q in range(Q):
+            if not matched[q]:
+                if perq_lines is not None:
+                    perq_lines.append(heads[q] + b"\tNo matches found")
+                results.append([-1, -1, -1])
+                for jh in range(3):
+                    cbins[jh].append([])
+                continue
+            if perq_lines is not None:
+                rn = self.db.ref_names[int(mix[q])]
+                parts = []
+                for h in range(2):
+                    ix = int(ft_ix[q, h])
+                    if ix < 0:
+                        parts.append(b"")
+                        continue
+                    s = self.h_strings[h][ix]
+                    lv = int(ft_lv[q, h])
+                    if lv > 0:
+                        p = -1
+                        for _ in range(lv):
+                            p = s.find(b";", p + 1)
+                        s = s[:p] if p >= 0 else s
+                    parts.append(s)
+                perq_lines.append(
+                    heads[q] + b"\t" + rn + b"\t[%d,%d]\t" % (int(mx[q]), int(mx2[q]))
+                    + parts[0] + b"\t" + parts[1] + b"\t%d" % int(tix[q]))
+            results.append(mb[q].tolist())
+            cbins[0].append(cand0[q] if cand0 is not None else [])
+            cbins[1].append(cand1[q] if cand1 is not None else [])
+            cbins[2].append(cand2[q] if cand2 is not None else [])
+
+    def _batch_aufbau(self, d2, qid_sub, pres_sub, seeds_sub, h, Hn, Q, tix,
+                      conf, mb, ft_ix, ft_lv, opts):
+        """Vectorized full-LCA walk (xtree.c:1241-1301) over the queries d2:
+        per level, one flat lbins tally; winners keep the FIRST-inserted
+        taxon among max-count entries (dict-order contract)."""
+        ag_thres = (conf * tix[d2]).astype(np.int64)  # int() truncation
+        agreed = tix[d2].copy()
+        winner = np.full(len(d2), -1, np.int64)
+        win_lv = np.full(len(d2), -1, np.int64)
+        levels = self.lbins[h]
+        thr = np.zeros(Q, np.int64)
+        thr[d2] = ag_thres
+        semi = 1
+        active = agreed >= ag_thres
+        while active.any() and semi - 1 < len(levels):
+            inq = np.zeros(Q, bool)
+            inq[d2[active]] = True
+            sm = inq[qid_sub]
+            q2, f2, c2, ins2 = self._batch_h_tally(
+                qid_sub[sm], pres_sub[sm], seeds_sub[sm], self.h_pairs[h], Hn,
+                Q, lbin=levels[semi - 1])
+            ok = c2 >= thr[q2]  # entries below ag_thres never update lmax/lmax2
+            lmx, lmx2, lwidx = self._group_minmax(q2[ok], c2[ok], ins2[ok], Q)
+            lwin = np.where(lwidx >= 0, f2[ok][np.maximum(lwidx, 0)], -1)
+            lmx_d = lmx[d2]
+            cond = active & (lmx_d > lmx2[d2]) & (lmx_d >= ag_thres)
+            agreed = np.where(active, np.where(cond, lmx_d, 0), agreed)
+            winner = np.where(cond, lwin[d2], winner)
+            win_lv = np.where(cond, semi, win_lv)
+            active = active & (agreed >= ag_thres)
+            semi += 1
+        won = winner != -1
+        wq = d2[won]
+        ft_ix[wq, h] = winner[won]
+        ft_lv[wq, h] = win_lv[won]
+        if opts.tax_out:
+            mb[wq, h + 1] = winner[won] + win_lv[won] * self.n_uniq_h[h]
+
+    def align_file_scalar(self, reads_path: str, opts: AlignOptions):
+        """Literal per-query replay (the exactness spec; kept as the batch
+        engine's property-test twin)."""
         from utree_tpu.xtree.io import iter_queries
 
         db = self.db
@@ -272,7 +665,7 @@ class XtreeAligner:
                     cbins[j].append(cand[j])
                 continue
 
-            rbin = self._ref_tally(seeds)
+            rbin = self._ref_tally(seeds, pres)
             mx, mx2, mix = self._max2(rbin)
             if not rbin or mix == -1 or mx < opts.n_uniq_matches:
                 if perq_lines is not None:
@@ -283,8 +676,8 @@ class XtreeAligner:
                 continue
 
             if opts.cov_out:
-                for s in seeds:
-                    for j in range(s, self.run_end[s]):
+                for s, p in zip(seeds, pres):
+                    for j in range(s, min(self.run_end[s], self.bins[p + 1])):
                         if rbin.get(int(self.rix[j]), 0) == mx:
                             query_aligns[s] += 1  # seed, not j (xtree.c:1158)
                 for rx, c in rbin.items():
@@ -315,7 +708,7 @@ class XtreeAligner:
                 for h in range(2):
                     if not self.h_strings[h]:
                         break
-                    hbin = self._h_tally(seeds, self.h_pairs[h])
+                    hbin = self._h_tally(seeds, pres, self.h_pairs[h])
                     hmx, hmx2, hmix = self._h_max2(hbin)
                     if opts.do_redist:
                         cand[h + 1].extend(t for t, c in hbin.items() if c == hmx)
@@ -331,7 +724,7 @@ class XtreeAligner:
                             if semi - 1 >= len(self.lbins[h]):
                                 break
                             agreed = 0
-                            lb = self._h_tally_lbins(seeds, self.h_pairs[h], self.lbins[h][semi - 1])
+                            lb = self._h_tally_lbins(seeds, pres, self.h_pairs[h], self.lbins[h][semi - 1])
                             lmax = lmax2 = 0
                             lwin = 0
                             for t, c in lb.items():
