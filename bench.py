@@ -79,6 +79,8 @@ def main():
 
     tracer = PhaseTimer(quiet=True)
     pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer)
+    log(f"bench: table_kind={pipe.table_kind} (warm-jit regime measured; "
+        "first-compile excluded by the warmup batch)")
 
     # the product path: FASTA file -> C++ scanner -> device -> native vote
     import shutil

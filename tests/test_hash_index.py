@@ -2,6 +2,7 @@
 compressor's quirky bin-table cases."""
 
 import numpy as np
+import pytest
 
 from utree_tpu.config import UTreeConfig
 from utree_tpu.hash_index import _rc64, build_canonical_hash_index, build_hash_index
@@ -184,3 +185,35 @@ def test_canonical_no_spill_skips_t2():
     assert built.t2.shape[0] == 8
     q = np.concatenate([words, rng.integers(0, 1 << 64, size=200, dtype=np.uint64)])
     _canonical_case(words, ixs, 5, q)
+
+
+@pytest.mark.parametrize("slots,load,slots2", [
+    (4, 0.28, 16),   # ladder tier B: 2-sector rows, cached t2
+    (4, 4.0, 8),     # ladder tier C shape: overloaded t1 -> big HBM t2
+])
+def test_canonical_geometry_tiers_exact(slots, load, slots2):
+    """The geometry LADDER tiers (big-DB degradation) answer identically to
+    the probe-replay ground truth: the lookup derives slot counts from the
+    table shapes, so any placed geometry must be exact."""
+    rng = np.random.default_rng(11)
+    words = np.unique(rng.integers(0, 1 << 64, size=40_000, dtype=np.uint64))
+    ixs = rng.integers(0, 64, size=len(words)).astype(np.int64)
+    cfg = UTreeConfig()
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(64)], cfg)
+    bs = index.device_put()
+    queries = np.concatenate([rng.choice(words, 4000),
+                              rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)])
+    qpre, qhi, qlo = _lanes(queries)
+    valid = np.ones(len(queries), bool)
+    ref_f = np.asarray(lookup_kmers(bs, qpre, qhi, qlo, valid, index.probe_iters, cfg.bad_ix))
+    rc = _rc64(queries)
+    rpre, rhi, rlo = _lanes(rc)
+    ref_r = np.asarray(lookup_kmers(bs, rpre, rhi, rlo, valid, index.probe_iters, cfg.bad_ix))
+    built = build_canonical_hash_index(index, slots=slots, load=load, slots2=slots2)
+    assert built.t1.shape[1] == slots * 3
+    ch = built.device_put()
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                      slots2=built.slots2, bad_ix=cfg.bad_ix, do_rc=True)
+    got = np.sort(np.stack([np.asarray(ixa), np.asarray(ixb)]), axis=0)
+    want = np.sort(np.stack([ref_f, ref_r]), axis=0)
+    assert np.array_equal(got, want)

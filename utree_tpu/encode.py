@@ -71,10 +71,28 @@ def _pack_words_u64(codes: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray
         out["hi"] = _pack_words_u64(codes, starts, 32)
         out["lo"] = _pack_words_u64(codes, starts + 32, 32)
         return out
+    # doubling pyramid: levels[t][i] = word of codes[i : i+2^t], built with
+    # log2(k) contiguous-slice combines; each output word then needs one
+    # gather per set bit of k (k=32 -> ONE gather) instead of k gathers.
+    n = len(codes)
+    levels = {0: codes.astype(np.uint64)}
+    t = 0
+    while (1 << (t + 1)) <= k:
+        h = 1 << t
+        prev = levels[t]
+        nxt = np.zeros(n, dtype=np.uint64)
+        np.left_shift(prev[: n - h], np.uint64(2 * h), out=nxt[: n - h])
+        nxt[: n - h] |= prev[h:]
+        levels[t + 1] = nxt
+        if not (k >> t) & 1:  # level t is not a component of k: free it
+            del levels[t]
+        t += 1
     w = np.zeros(len(starts), dtype=np.uint64)
-    c64 = codes.astype(np.uint64)
-    for t in range(k):
-        w = (w << np.uint64(2)) | c64[starts + t]
+    off = 0
+    for tt in range(t, -1, -1):
+        if (k >> tt) & 1:
+            w = (w << np.uint64(2 << tt)) | levels[tt][starts + off]
+            off += 1 << tt
     return w
 
 

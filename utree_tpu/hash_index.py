@@ -219,10 +219,21 @@ class CanonicalHashArrays:
 
 def build_canonical_hash_index(
     index: DeviceIndexArrays,
-    slots: int = CANON_SLOTS,
-    load: float = CANON_LOAD,
-    slots2: int = CANON_SLOTS2,
+    slots: int | None = None,
+    load: float | None = None,
+    slots2: int | None = None,
 ) -> CanonicalHashArrays:
+    """Build the canonical table, walking a geometry LADDER so that big DBs
+    degrade gracefully instead of losing the hash path entirely:
+
+      tier A: 2 slots (24B = 1-sector rows, ~17.7ns gather), tiny cached t2
+              — covers up to ~80M entries within the 8GB t1 cap;
+      tier B: 4 slots (48B = 2-sector rows, ~25.3ns), cached t2
+              — covers the real-L2 ~150M-entry regime;
+      tier C: 4 slots + HBM-RESIDENT t2 (every probe pays the second
+              gather; still ~5-10x faster than the bsearch replay path).
+
+    Passing slots/load/slots2 pins a single geometry (tests)."""
     cfg = index.config
     if cfg.packsize != 32:
         raise ValueError("canonical hash path implements k=32")
@@ -260,7 +271,30 @@ def build_canonical_hash_index(
     chi = ((ck >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
     clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.int64)
 
+    if slots is not None:
+        tiers = [(slots, load or CANON_LOAD, slots2 or CANON_SLOTS2,
+                  _CANON_T2_BUDGET // 12)]
+    else:
+        tiers = [
+            (CANON_SLOTS, CANON_LOAD, CANON_SLOTS2, _CANON_T2_BUDGET // 12),
+            (4, 0.28, CANON_SLOTS2, (_CANON_T2_BUDGET // 12) * 4),
+            (4, 0.56, 8, 1 << 27),
+        ]
+    err: Exception | None = None
+    for s_, load_, s2_, budget_ in tiers:
+        try:
+            return _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
+                                    s_, load_, s2_, budget_)
+        except (ValueError, RuntimeError) as e:
+            err = e
+    raise ValueError(f"canonical table does not fit any geometry tier: {err}")
+
+
+def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
+                     slots, load, slots2, t2_budget_entries) -> CanonicalHashArrays:
     b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
+    while b1 * slots * 12 > _CANON_T1_CAP:
+        b1 //= 2
     # bucket hash folds TWO independent 32-bit mixes: a single 32-bit hash
     # has ~n^2/2^33 birthday-colliding pairs (46K at 20M keys) that no table
     # growth can separate; the fold makes residual pair collisions scale with
@@ -268,8 +302,7 @@ def build_canonical_hash_index(
     h1 = _mix_np(cpre, chi, clo)
     hb = _mix_np(cpre, chi, clo ^ np.int64(0x6A09E667))
     g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
-    # grow t1 until the spill fits the cached-t2 budget (HBM-resident spill
-    # would add a full-cost second gather to EVERY lookup)
+    # grow t1 until the spill fits this tier's t2 budget
     while True:
         bucket = (g & np.uint32(b1 - 1)).astype(np.int64)
         sb_order = np.argsort(bucket, kind="stable")
@@ -281,7 +314,7 @@ def build_canonical_hash_index(
         pos_in = np.arange(len(sb)) - grp_start
         fits = pos_in < slots
         n_spill = int((~fits).sum())
-        if n_spill * 12 <= _CANON_T2_BUDGET:
+        if n_spill <= t2_budget_entries:
             break
         if b1 * slots * 12 * 2 > _CANON_T1_CAP:
             raise ValueError("canonical table would exceed the HBM budget")
@@ -299,7 +332,7 @@ def build_canonical_hash_index(
         t2 = np.zeros((8, slots2 * 3), np.int32)  # shape<=8 rows: probe skipped
         return CanonicalHashArrays(t1=t1, t2=t2, slots=slots, slots2=slots2, num_entries=ng)
     h2 = _mix_np(cpre[spill], chi[spill], clo[spill] ^ np.int64(0x5BD1E995))
-    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 // 2))))))
+    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, slots2 // 2))))))
     while True:
         bucket2 = (h2 & np.uint32(b2 - 1)).astype(np.int64)
         order2 = np.argsort(bucket2, kind="stable")
@@ -312,7 +345,9 @@ def build_canonical_hash_index(
         if len(pos2) == 0 or int(pos2.max()) < slots2:
             break
         b2 *= 2
-        if b2 > max(16, 2 * b1):
+        # t2 may legitimately be LARGE in the HBM-spill tier; only a hard
+        # byte cap (2GB) stops the growth spiral
+        if b2 * slots2 * 12 > 2 << 30:
             raise RuntimeError("canonical spill table overflow")
     t2 = np.zeros((b2, slots2 * 3), np.int32)
     src2 = spill[order2]

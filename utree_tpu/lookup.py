@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from utree_tpu.hash_index import CANON_SLOTS, CANON_SLOTS2
 
 # device-side base-code table: A=0 C=1 G=2 T=3, INVALID=4 (compact for device)
 DINVALID = 4
@@ -445,8 +444,10 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
     if "c1" in table and k == 32:
         codes = base_codes(reads_u8, lengths)
         qpre, qhi, qlo, valid = extract_windows(codes, k)
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=CANON_SLOTS,
-                                   slots2=CANON_SLOTS2, bad_ix=bad_ix, do_rc=do_rc)
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
+                                   slots=table["c1"].shape[1] // 3,
+                                   slots2=table["c2"].shape[1] // 3,
+                                   bad_ix=bad_ix, do_rc=do_rc)
         return jnp.concatenate(r, axis=1) if do_rc else r
     if "c64_1" in table and k == 64:
         from utree_tpu.hash_index64 import CANON64_SLOTS, CANON64_SLOTS2
@@ -539,8 +540,10 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     if "c1" in table:  # canonical: both strands from one probe per position
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid, slots=CANON_SLOTS,
-                                   slots2=CANON_SLOTS2, bad_ix=bad_ix, do_rc=do_rc)
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
+                                   slots=table["c1"].shape[1] // 3,
+                                   slots2=table["c2"].shape[1] // 3,
+                                   bad_ix=bad_ix, do_rc=do_rc)
         ix = jnp.concatenate(r, axis=1) if do_rc else r
     else:
         if do_rc:

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from utree_tpu.hash_index import CANON_SLOTS, CANON_SLOTS2, CanonicalHashArrays
+from utree_tpu.hash_index import CanonicalHashArrays
 from utree_tpu.lookup import (
     base_codes_packed,
     canonical_buckets,

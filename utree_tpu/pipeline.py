@@ -158,6 +158,20 @@ class SearchPipeline:
         else:
             self._step = jax.jit(functools.partial(search_step_hist, **common))
 
+    @property
+    def table_kind(self) -> str:
+        """Which device table layout this pipeline resolved to:
+        'canonical' (dual-value hash), 'canonical64', 'hash', or 'bsearch'
+        (probe-replay).  Benches report it so regimes are identifiable."""
+        t = self._table
+        if "c1" in t:
+            return "canonical"
+        if "c64_1" in t:
+            return "canonical64"
+        if "t1" in t:
+            return "hash"
+        return "bsearch"
+
     # ---- device dispatch -----------------------------------------------
 
     def _pack(self, seqs: list[bytes]):
