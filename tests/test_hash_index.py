@@ -187,11 +187,13 @@ def test_canonical_no_spill_skips_t2():
     _canonical_case(words, ixs, 5, q)
 
 
-@pytest.mark.parametrize("slots,load,slots2", [
-    (4, 0.28, 16),   # ladder tier B: 2-sector rows, cached t2
-    (4, 4.0, 8),     # ladder tier C shape: overloaded t1 -> big HBM t2
+@pytest.mark.parametrize("slots,load,slots2,slots3", [
+    (4, 0.28, 16, 0),  # 2-sector rows, cached t2
+    (4, 4.0, 8, 0),    # ladder tier C shape: overloaded t1 -> big HBM t2
+    (4, 4.0, 2, 16),   # ladder tier B shape: 3-level chain, heavy spill
+    (2, 8.0, 2, 16),   # extreme overload: t3 takes a large tail
 ])
-def test_canonical_geometry_tiers_exact(slots, load, slots2):
+def test_canonical_geometry_tiers_exact(slots, load, slots2, slots3):
     """The geometry LADDER tiers (big-DB degradation) answer identically to
     the probe-replay ground truth: the lookup derives slot counts from the
     table shapes, so any placed geometry must be exact."""
@@ -209,7 +211,14 @@ def test_canonical_geometry_tiers_exact(slots, load, slots2):
     rc = _rc64(queries)
     rpre, rhi, rlo = _lanes(rc)
     ref_r = np.asarray(lookup_kmers(bs, rpre, rhi, rlo, valid, index.probe_iters, cfg.bad_ix))
-    built = build_canonical_hash_index(index, slots=slots, load=load, slots2=slots2)
+    from utree_tpu.hash_index import _canonical_groups, _place_canonical
+
+    if slots3:
+        g = _canonical_groups(index)
+        built = _place_canonical(*g, slots, load, slots2, 1 << 27, slots3=slots3)
+        assert built.t3.shape[0] > 8, "t3 tail not exercised"
+    else:
+        built = build_canonical_hash_index(index, slots=slots, load=load, slots2=slots2)
     assert built.t1.shape[1] == slots * 3
     ch = built.device_put()
     ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,

@@ -37,3 +37,36 @@ def test_nongg_rc_identical(toy, tmp_path):
     out = tmp_path / "cls_rc.txt"
     search_file_shallow(idx, toy["reads"], str(out), do_rc=True)
     assert out.read_bytes() == golden["classifications"].read_bytes()
+
+
+def test_shallow_fast_matches_literal_all_sparsities(toy, tmp_path):
+    """scan_shallow_fast (batched lookups + divergence fallback) must equal
+    the literal word-state-machine replay for every SPARSITY, including the
+    skip-after-hit over-shift corruption paths and reads with Ns."""
+    import dataclasses
+
+    import numpy as np
+
+    from utree_tpu.io.fasta import iter_fasta_records
+    from utree_tpu.search_host import scan_shallow_fast, scan_shallow_literal
+
+    cfg = UTreeConfig()
+    res = build_database(toy["refs"], toy["map"], cfg, do_gg=False)
+    write_ubt(str(tmp_path / "s.ubt"), res.words, res.ixs, res.labels.strings, cfg)
+    write_ctr_from_ubt(str(tmp_path / "s.ubt"), str(tmp_path / "s.ctr"), cfg)
+    reads = [s for _, s in iter_fasta_records(toy["reads"])][:120]
+    rng = np.random.default_rng(5)
+    # splice Ns into some reads to exercise the invalid-char resets
+    reads += [r[:40] + b"N" + r[41:] for r in reads[:20]]
+    checked_corrupt = 0
+    for sparsity in (1, 2, 4, 8):
+        c2 = dataclasses.replace(cfg, sparsity=sparsity)
+        idx = HostIndex.from_ctr(str(tmp_path / "s.ctr"), c2)
+        for r in reads:
+            for rc in (False, True):
+                a = scan_shallow_literal(idx, r, rc)
+                b = scan_shallow_fast(idx, r, rc)
+                assert a == b, (sparsity, rc, r[:40])
+                if sparsity > 1 and len(a) > 1:
+                    checked_corrupt += 1
+    assert checked_corrupt > 50  # the corruption path was actually exercised

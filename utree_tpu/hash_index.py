@@ -51,7 +51,7 @@ CANON_SLOTS2 = 16
 # after growth.  t1 is capped at 8GB (v5e HBM is 16GB); builds that cannot
 # satisfy both raise, and the pipeline falls back to the bsearch path.
 _CANON_T2_BUDGET = (1 << 20) + (1 << 18)  # 1.25MB of entries -> t2 <= ~1.5MB
-_CANON_T1_CAP = 8 << 30
+_CANON_T1_CAP = 6 << 30  # v5e HBM is 16GB; measured step workspace + t2 need ~8GB headroom at batch 65536
 
 
 def _mix_np(pre: np.ndarray, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
@@ -207,14 +207,17 @@ class CanonicalHashArrays:
 
     t1: np.ndarray  # int32 (B1, slots*3)
     t2: np.ndarray  # int32 (B2, slots2*3)
+    t3: np.ndarray  # int32 (B3, slots3*3); 8-row sentinel = absent
     slots: int
     slots2: int
+    slots3: int
     num_entries: int
 
     def device_put(self):
         import jax
 
-        return {"c1": jax.device_put(self.t1), "c2": jax.device_put(self.t2)}
+        return {"c1": jax.device_put(self.t1), "c2": jax.device_put(self.t2),
+                "c3": jax.device_put(self.t3)}
 
 
 def build_canonical_hash_index(
@@ -227,13 +230,44 @@ def build_canonical_hash_index(
     degrade gracefully instead of losing the hash path entirely:
 
       tier A: 2 slots (24B = 1-sector rows, ~17.7ns gather), tiny cached t2
-              — covers up to ~80M entries within the 8GB t1 cap;
-      tier B: 4 slots (48B = 2-sector rows, ~25.3ns), cached t2
-              — covers the real-L2 ~150M-entry regime;
-      tier C: 4 slots + HBM-RESIDENT t2 (every probe pays the second
-              gather; still ~5-10x faster than the bsearch replay path).
+              — covers up to ~80M entries within the t1 cap;
+      tier B: THREE-level chain with narrow rows everywhere — t1 4 slots
+              (48B = 2 sectors, measured 22.1ns), t2 2 slots (24B = 1
+              sector, 14.9ns) absorbing the spill, t3 tiny+cached (16
+              slots) absorbing t2's own Poisson tail.  All three gather
+              indices derive from the key alone (no dependent gathers, so
+              they pipeline); ~41ns/probe at the real-L2 150M-entry scale.
+              (Measured dead ends, kept out: 5-slot 64B rows lose nothing
+              on the gather but force 192B t2 rows (~55ns); per-bucket
+              spill FLAGS make the t2 index depend on the t1 row and
+              serialize the chain — 943ms vs 497ms per batch.)
+      tier C: 4 slots + wide-rowed HBM t2 (every probe pays a 96B second
+              gather; the safety net when t2/t3 budgets cannot hold).
 
     Passing slots/load/slots2 pins a single geometry (tests)."""
+    key_lo, key_hi, vals, cpre, chi, clo, ng = _canonical_groups(index)
+    if slots is not None:
+        tiers = [(slots, load or CANON_LOAD, slots2 or CANON_SLOTS2, 1 << 27, 0)]
+    else:
+        tiers = [
+            (CANON_SLOTS, CANON_LOAD, CANON_SLOTS2, _CANON_T2_BUDGET // 12, 0),
+            (4, 0.56, 2, 1 << 27, 16),
+            (4, 0.56, 8, 1 << 27, 0),
+        ]
+    err: Exception | None = None
+    for s_, load_, s2_, budget_, s3_ in tiers:
+        try:
+            return _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
+                                    s_, load_, s2_, budget_, slots3=s3_)
+        except (ValueError, RuntimeError) as e:
+            err = e
+    raise ValueError(f"canonical table does not fit any geometry tier: {err}")
+
+
+def _canonical_groups(index: DeviceIndexArrays):
+    """Reference-hit set folded to canonical dual-value groups: the entry
+    arrays every geometry places.  Returns (key_lo, key_hi, vals, cpre, chi,
+    clo, num_groups)."""
     cfg = index.config
     if cfg.packsize != 32:
         raise ValueError("canonical hash path implements k=32")
@@ -270,30 +304,43 @@ def build_canonical_hash_index(
     cpre = (ck >> np.uint64(40)).astype(np.int64)
     chi = ((ck >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
     clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return key_lo, key_hi, vals, cpre, chi, clo, ng
 
-    if slots is not None:
-        tiers = [(slots, load or CANON_LOAD, slots2 or CANON_SLOTS2,
-                  _CANON_T2_BUDGET // 12)]
-    else:
-        tiers = [
-            (CANON_SLOTS, CANON_LOAD, CANON_SLOTS2, _CANON_T2_BUDGET // 12),
-            (4, 0.28, CANON_SLOTS2, (_CANON_T2_BUDGET // 12) * 4),
-            (4, 0.56, 8, 1 << 27),
-        ]
-    err: Exception | None = None
-    for s_, load_, s2_, budget_ in tiers:
-        try:
-            return _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
-                                    s_, load_, s2_, budget_)
-        except (ValueError, RuntimeError) as e:
-            err = e
-    raise ValueError(f"canonical table does not fit any geometry tier: {err}")
+
+def _group_pos(h: np.ndarray, b: int):
+    """Sorted-group placement positions for bucketed hashing: returns
+    (order, sb, pos) where sb = sorted bucket ids and pos = each entry's
+    rank within its bucket."""
+    bucket = (h & np.uint32(b - 1)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    new = np.ones(len(sb), bool)
+    if len(sb) > 1:
+        new[1:] = sb[1:] != sb[:-1]
+    grp = np.maximum.accumulate(np.where(new, np.arange(len(sb)), 0))
+    pos = np.arange(len(sb)) - grp
+    return order, sb, pos
+
+
+def _fill(table: np.ndarray, sb, pos, src, key_lo, key_hi, vals):
+    table[sb, pos * 3] = key_lo[src]
+    table[sb, pos * 3 + 1] = key_hi[src]
+    table[sb, pos * 3 + 2] = vals[src]
+
+
+# 3-level tier limits: t2 stays narrow-rowed and HBM-resident, t3 absorbs
+# t2's Poisson tail and must stay on-chip-cache-sized
+_T3_ENTRY_BUDGET = 120_000
+_T2_BYTE_CAP = 1 << 30
+_T3_BYTE_CAP = 8 << 20
 
 
 def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
-                     slots, load, slots2, t2_budget_entries) -> CanonicalHashArrays:
+                     slots, load, slots2, t2_budget_entries,
+                     slots3: int = 0) -> CanonicalHashArrays:
+    row_bytes = slots * 12
     b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
-    while b1 * slots * 12 > _CANON_T1_CAP:
+    while b1 * row_bytes > _CANON_T1_CAP:
         b1 //= 2
     # bucket hash folds TWO independent 32-bit mixes: a single 32-bit hash
     # has ~n^2/2^33 birthday-colliding pairs (46K at 20M keys) that no table
@@ -304,44 +351,61 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
     g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
     # grow t1 until the spill fits this tier's t2 budget
     while True:
-        bucket = (g & np.uint32(b1 - 1)).astype(np.int64)
-        sb_order = np.argsort(bucket, kind="stable")
-        sb = bucket[sb_order]
-        nw = np.ones(len(sb), bool)
-        if len(sb) > 1:
-            nw[1:] = sb[1:] != sb[:-1]
-        grp_start = np.maximum.accumulate(np.where(nw, np.arange(len(sb)), 0))
-        pos_in = np.arange(len(sb)) - grp_start
+        sb_order, sb, pos_in = _group_pos(g, b1)
         fits = pos_in < slots
         n_spill = int((~fits).sum())
         if n_spill <= t2_budget_entries:
             break
-        if b1 * slots * 12 * 2 > _CANON_T1_CAP:
+        if b1 * row_bytes * 2 > _CANON_T1_CAP:
             raise ValueError("canonical table would exceed the HBM budget")
         b1 *= 2
     t1 = np.zeros((b1, slots * 3), np.int32)
-    rows = sb[fits]
-    cols = pos_in[fits]
-    src = sb_order[fits]
-    t1[rows, cols * 3] = key_lo[src]
-    t1[rows, cols * 3 + 1] = key_hi[src]
-    t1[rows, cols * 3 + 2] = vals[src]
+    _fill(t1, sb[fits], pos_in[fits], sb_order[fits], key_lo, key_hi, vals)
     spill = sb_order[~fits]
 
+    t3 = np.zeros((8, max(slots3, 1) * 3), np.int32)
     if len(spill) == 0:
         t2 = np.zeros((8, slots2 * 3), np.int32)  # shape<=8 rows: probe skipped
-        return CanonicalHashArrays(t1=t1, t2=t2, slots=slots, slots2=slots2, num_entries=ng)
+        return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
+                                   slots2=slots2, slots3=max(slots3, 1),
+                                   num_entries=ng)
     h2 = _mix_np(cpre[spill], chi[spill], clo[spill] ^ np.int64(0x5BD1E995))
+
+    if slots3:
+        # 3-level chain: t2 rows NARROW (1 sector at slots2=2 -> ~15ns
+        # gather); its own Poisson tail overflows into the tiny cached t3
+        # instead of forcing wide t2 rows (192B rows measured ~2.5x slower)
+        b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 * 0.3))))))
+        while True:
+            order2, sb2, pos2 = _group_pos(h2, b2)
+            over = pos2 >= slots2
+            n3 = int(over.sum())
+            if n3 <= _T3_ENTRY_BUDGET:
+                break
+            if b2 * slots2 * 12 * 2 > _T2_BYTE_CAP:
+                raise RuntimeError("canonical t2 overflow exceeds the t3 budget")
+            b2 *= 2
+        t2 = np.zeros((b2, slots2 * 3), np.int32)
+        _fill(t2, sb2[~over], pos2[~over], spill[order2[~over]], key_lo, key_hi, vals)
+        rest = spill[order2[over]]
+        if len(rest):
+            h3 = _mix_np(cpre[rest], chi[rest], clo[rest] ^ np.int64(0x27D4EB2F))
+            b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(rest) / max(1, slots3 // 2))))))
+            while True:
+                order3, sb3, pos3 = _group_pos(h3, b3)
+                if len(pos3) == 0 or int(pos3.max()) < slots3:
+                    break
+                b3 *= 2
+                if b3 * slots3 * 12 > _T3_BYTE_CAP:
+                    raise RuntimeError("canonical t3 overflow")
+            t3 = np.zeros((b3, slots3 * 3), np.int32)
+            _fill(t3, sb3, pos3, rest[order3], key_lo, key_hi, vals)
+        return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
+                                   slots2=slots2, slots3=slots3, num_entries=ng)
+
     b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, slots2 // 2))))))
     while True:
-        bucket2 = (h2 & np.uint32(b2 - 1)).astype(np.int64)
-        order2 = np.argsort(bucket2, kind="stable")
-        sb2 = bucket2[order2]
-        new2 = np.ones(len(sb2), bool)
-        if len(sb2) > 1:
-            new2[1:] = sb2[1:] != sb2[:-1]
-        grp2 = np.maximum.accumulate(np.where(new2, np.arange(len(sb2)), 0))
-        pos2 = np.arange(len(sb2)) - grp2
+        order2, sb2, pos2 = _group_pos(h2, b2)
         if len(pos2) == 0 or int(pos2.max()) < slots2:
             break
         b2 *= 2
@@ -350,11 +414,10 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
         if b2 * slots2 * 12 > 2 << 30:
             raise RuntimeError("canonical spill table overflow")
     t2 = np.zeros((b2, slots2 * 3), np.int32)
-    src2 = spill[order2]
-    t2[sb2, pos2 * 3] = key_lo[src2]
-    t2[sb2, pos2 * 3 + 1] = key_hi[src2]
-    t2[sb2, pos2 * 3 + 2] = vals[src2]
-    return CanonicalHashArrays(t1=t1, t2=t2, slots=slots, slots2=slots2, num_entries=ng)
+    _fill(t2, sb2, pos2, spill[order2], key_lo, key_hi, vals)
+    return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
+                               slots2=slots2, slots3=max(slots3, 1),
+                               num_entries=ng)
 
 
 def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4) -> HashIndexArrays:

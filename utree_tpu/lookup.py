@@ -276,6 +276,17 @@ def canonical_buckets(key_lo, key_hi, valid, b1: int, b2: int):
     return bkt1, bkt2
 
 
+def canonical_bucket3(key_lo, key_hi, valid, b3: int):
+    """t3 bucket ids (the 3-level tier's cached tail); mirrors the builder's
+    0x27D4EB2F-salted mix."""
+    c_lo = key_lo.astype(jnp.uint32)
+    c_hi32 = key_hi.astype(jnp.uint32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+    h3 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x27D4EB2F))
+    return jnp.where(valid, (h3 & jnp.uint32(b3 - 1)).astype(jnp.int32), 0)
+
+
 def probe_rows(rows, key_lo, key_hi, nslots: int):
     """Vectorized slot compare over gathered bucket rows (..., nslots*3):
     returns the matching entry's packed dual value, 0 = no entry."""
@@ -313,6 +324,7 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     concatenation is the exact reference hit multiset of the fwd+RC scan.
     Without RC returns one matrix of forward-strand hits only."""
     t1, t2 = tables["c1"], tables["c2"]
+    t3 = tables.get("c3")
     b1, b2 = t1.shape[0], t2.shape[0]
     # jnp silently CLAMPS static out-of-bounds column indices, so a slot
     # mismatch would mis-probe instead of erroring — reject it here
@@ -322,8 +334,13 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
     bkt1, bkt2 = canonical_buckets(key_lo, key_hi, valid, b1, b2)
     val = probe_rows(t1[bkt1], key_lo, key_hi, slots)
-    if b2 > 8:  # spill probe (t2 is cache-resident: ~5.5ns)
+    if b2 > 8:  # spill probe (narrow rows; index derives from the key, so
+        # all levels' gathers are independent and pipeline)
         val = jnp.where(val != 0, val, probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+    if t3 is not None and t3.shape[0] > 8:  # 3-level tier: tiny cached tail
+        slots3 = t3.shape[1] // 3
+        bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+        val = jnp.where(val != 0, val, probe_rows(t3[bkt3], key_lo, key_hi, slots3))
     return decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
 
 

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from utree_tpu.hash_index import CanonicalHashArrays
 from utree_tpu.lookup import (
     base_codes_packed,
+    canonical_bucket3,
     canonical_buckets,
     canonical_keys,
     decode_canonical_vals,
@@ -59,10 +60,12 @@ class ShardedCanonicalIndex:
 
     t1: np.ndarray  # int32 (S, b1/S, slots*3)
     t2: np.ndarray  # int32 (b2, slots2*3)
+    t3: np.ndarray  # int32 (b3, slots3*3); 8-row sentinel = absent
     num_shards: int
     b1: int  # global t1 bucket count
     slots: int
     slots2: int
+    slots3: int
 
     @classmethod
     def from_canonical(cls, c: CanonicalHashArrays, num_shards: int) -> "ShardedCanonicalIndex":
@@ -72,15 +75,26 @@ class ShardedCanonicalIndex:
         per = b1 // num_shards
         return cls(
             t1=np.ascontiguousarray(c.t1.reshape(num_shards, per, c.t1.shape[1])),
-            t2=c.t2, num_shards=num_shards, b1=b1,
-            slots=c.slots, slots2=c.slots2,
+            t2=c.t2, t3=c.t3, num_shards=num_shards, b1=b1,
+            slots=c.slots, slots2=c.slots2, slots3=c.slots3,
         )
 
     def device_put(self, mesh: Mesh, axis: str = "table"):
         return {
             "t1": jax.device_put(self.t1, NamedSharding(mesh, P(axis))),
             "t2": jax.device_put(self.t2, NamedSharding(mesh, P())),
+            "t3": jax.device_put(self.t3, NamedSharding(mesh, P())),
         }
+
+
+def _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid, slots2, slots3):
+    """Replicated (local) t2/t3 probes shared by both sharded steps."""
+    if t2.shape[0] > 8:
+        val = jnp.where(val != 0, val, probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+    if t3.shape[0] > 8:
+        bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+        val = jnp.where(val != 0, val, probe_rows(t3[bkt3], key_lo, key_hi, slots3))
+    return val
 
 
 def _routed_probe_t1(t1_local, bkt1, valid, key_lo, key_hi, *, axis: str,
@@ -138,7 +152,7 @@ def routed_canonical_search_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
     bad_ix = min(bad_ix, 0x7FFFFFFF)
 
     def step(table, packed, vbits, lens):
-        def shard_fn(t1_local, t2, packed, vbits, lens):
+        def shard_fn(t1_local, t2, t3, packed, vbits, lens):
             codes = base_codes_packed(packed, vbits, lens)
             qpre, qhi, qlo, valid = extract_windows(codes, 32)
             b_loc, w = qpre.shape
@@ -155,9 +169,8 @@ def routed_canonical_search_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
                 capacity=c,
             )
             val = val.reshape(b_loc, w)
-            if b2 > 8:  # replicated spill probe, local (cache-resident)
-                val = jnp.where(val != 0, val,
-                                probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+            val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
+                              slots2, sharded.slots3)
             r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
             ix = jnp.concatenate(r, axis=1) if do_rc else r
             out = pack_hist(ix, num_labels, cap)
@@ -169,10 +182,10 @@ def routed_canonical_search_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(), P((data_axis, axis)), P((data_axis, axis)),
-                      P((data_axis, axis))),
+            in_specs=(P(axis), P(), P(), P((data_axis, axis)),
+                      P((data_axis, axis)), P((data_axis, axis))),
             out_specs=P((data_axis, axis)),
-        )(table["t1"], table["t2"], packed, vbits, lens)
+        )(table["t1"], table["t2"], table["t3"], packed, vbits, lens)
 
     return jax.jit(step)
 
@@ -192,7 +205,7 @@ def routed_fallback_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
     bad_ix = min(bad_ix, 0x7FFFFFFF)
 
     def step(table, packed, vbits, lens):
-        def shard_fn(t1_local, t2, packed, vbits, lens):
+        def shard_fn(t1_local, t2, t3, packed, vbits, lens):
             codes = base_codes_packed(packed, vbits, lens)
             qpre, qhi, qlo, valid = extract_windows(codes, 32)
             key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
@@ -204,9 +217,8 @@ def routed_fallback_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
             v = probe_rows(t1_local[0][local], key_lo, key_hi, slots)
             v = jnp.where(mine, v, 0)
             val = jax.lax.psum(v, axis)
-            if b2 > 8:
-                val = jnp.where(val != 0, val,
-                                probe_rows(t2[bkt2], key_lo, key_hi, slots2))
+            val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
+                              slots2, sharded.slots3)
             r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
             ix = jnp.concatenate(r, axis=1) if do_rc else r
             return pack_hist(ix, num_labels, cap)
@@ -214,8 +226,8 @@ def routed_fallback_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(data_axis), P(data_axis), P(data_axis)),
+            in_specs=(P(axis), P(), P(), P(data_axis), P(data_axis), P(data_axis)),
             out_specs=P(data_axis),
-        )(table["t1"], table["t2"], packed, vbits, lens)
+        )(table["t1"], table["t2"], table["t3"], packed, vbits, lens)
 
     return jax.jit(step)

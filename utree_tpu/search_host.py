@@ -216,6 +216,79 @@ def scan_shallow_literal(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]
     return hits
 
 
+def scan_shallow_fast(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
+    """Exact scan_shallow_literal with the per-window Python bsearch removed.
+
+    All CLEAN window words are batch-looked-up once (lookup_words, the
+    vectorized XT_getIX32 replay); the word state machine then runs in cheap
+    Python ints, consuming the precomputed answer whenever its word equals
+    the clean word at that window and falling back to the scalar replay only
+    when the skip-after-hit over-shift (itree.c:920-924) has corrupted the
+    word — so the output is identical by construction on every path."""
+    from utree_tpu.encode import (INVALID, encode_bases, revcomp_text,
+                                  search_window_words_positions)
+
+    cfg = index.config
+    k1 = cfg.packsize - 1
+    kv = k1
+    step = cfg.packsize // cfg.sparsity - 1
+    mask = (1 << cfg.word_bits) - 1
+    words, positions = search_window_words_positions(seq, cfg.packsize, do_rc)
+    if len(words):
+        pre_ix = lookup_words(index, words)
+        if words.dtype.names:  # W128 -> python ints matching the machine's w
+            wlist = [(int(h) << 64) | int(l)
+                     for h, l in zip(words["hi"], words["lo"])]
+        else:
+            wlist = words.tolist()  # python ints: fast == against w
+        ilist = pre_ix.tolist()
+    else:
+        wlist, ilist = [], []
+    ext = seq + b"N" + revcomp_text(seq) if do_rc else seq
+    codes = encode_bases(ext)
+    length = len(codes)
+    pos_to_j = np.full(length + 1, -1, np.int64)
+    if len(words):
+        pos_to_j[positions] = np.arange(len(words))
+    max_ix = index.num_labels
+    hits: list[int] = []
+    w = 0
+    i = kv
+    z = -4
+    while i < length:
+        if i < z + kv:
+            w = (w << ((i - z - 1) << 1)) & mask
+            j = z + 1
+        else:
+            w = 0
+            j = i - k1
+        p = j
+        broke = False
+        while j <= i:
+            c = int(codes[j])
+            if c == INVALID or c > 3:
+                i += j - p
+                z = 0
+                broke = True
+                break
+            w = ((w << 2) | c) & mask
+            j += 1
+        if broke:
+            i += 1
+            continue
+        z = i
+        pj = int(pos_to_j[i - k1])
+        if pj >= 0 and wlist[pj] == w:
+            ix = ilist[pj]
+        else:  # over-shift-corrupted word: literal scalar replay
+            ix = _lookup_one(index, w)
+        if ix < max_ix:
+            hits.append(ix)
+            i += step
+        i += 1
+    return hits
+
+
 def search_file_shallow(
     index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False
 ) -> int:
@@ -230,7 +303,7 @@ def search_file_shallow(
         for header, seq in iter_fasta_records(reads_path):
             n += 1
             name = header.split(b" ")[0]
-            hits = scan_shallow_literal(index, seq, do_rc)
+            hits = scan_shallow_fast(index, seq, do_rc)
             line = voter.vote(name, hits)
             if line is not None:
                 fo.write(line + b"\n")
