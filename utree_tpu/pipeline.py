@@ -205,11 +205,11 @@ class SearchPipeline:
         """Dispatch pre-2-bit-packed reads (e.g. from the C++ scanner).
 
         The window count is trimmed to the batch's true max read length
-        (rounded to 16 to bound jit variants): the transfer buffer's padded
+        (rounded to 8 to bound jit variants): the transfer buffer's padded
         width would otherwise cost ~26% extra windows on 150bp reads."""
         k = self.index.config.packsize
         tl = int(lens.max()) if len(lens) else k
-        tl = min(max(k, (tl + 15) & ~15), packed.shape[1] * 4)
+        tl = min(max(k, (tl + 7) & ~7), packed.shape[1] * 4)
         return self._step(self._table, jax.device_put(packed),
                           jax.device_put(vbits), jax.device_put(lens),
                           true_len=tl)
@@ -395,7 +395,10 @@ class SearchPipeline:
     # producer thread while the device works — search RSS is O(chunk), not
     # O(file) (the reference streams with fgets/gz chunks, itree.c:867-875;
     # xtree.c:180-204), and the scan/pack time leaves the critical path
-    stream_chunk_bytes: int = 256 << 20
+    # ~2 batches of 150bp reads per piece: the FIRST piece's scan is the only
+    # serial scan cost (measured 0.44s for a 240MB single piece vs ~10ms at
+    # 32MB); later pieces scan while the device drains the 3-deep queue
+    stream_chunk_bytes: int = 32 << 20
 
     def _iter_fasta_pieces(self, reads_path: str, tm):
         """Yield FastaScanner pieces covering the file in order.  Pieces are
@@ -456,7 +459,55 @@ class SearchPipeline:
         packsize = self.index.config.packsize
 
         def batches():
+            # batches ACCUMULATE across piece boundaries: a partial batch is
+            # never dispatched mid-stream (padding it to batch_size would
+            # cost a full device batch), only at long-read/EOF flushes
             r_global = 0
+            spans: list[tuple] = []  # (scanner, start, count) of this batch
+            acc = 0
+            maxlen = 0
+
+            def flush():
+                nonlocal spans, acc, maxlen
+                if not acc:
+                    return None
+                lmax = max(_bucket_len64(maxlen), packsize)
+                with tm.phase("pack"):
+                    pools = []
+                    offs = []
+                    row = 0
+                    shift = 0
+                    if self._packed:  # 2-bit packing in C++ (memcpy speed)
+                        packed = np.zeros((self.batch_size, lmax // 4), np.uint8)
+                        vbits = np.zeros((self.batch_size, lmax // 8), np.uint8)
+                        lens = np.zeros(self.batch_size, np.int32)
+                        for sc, start, count in spans:
+                            p2, v2, l2, npool, noffs = sc.pack_2bit(start, count, lmax)
+                            packed[row:row + count] = p2
+                            vbits[row:row + count] = v2
+                            lens[row:row + count] = l2[:count]
+                            pools.append(npool)
+                            offs.append(noffs[:-1] + shift)
+                            shift += len(npool)
+                            row += count
+                        arrays = (packed, vbits, lens)
+                    else:
+                        reads = np.zeros((self.batch_size, lmax), np.uint8)
+                        lens = np.zeros(self.batch_size, np.int32)
+                        for sc, start, count in spans:
+                            rd, l2, npool, noffs = sc.pack(start, count, lmax)
+                            reads[row:row + count] = rd
+                            lens[row:row + count] = l2[:count]
+                            pools.append(npool)
+                            offs.append(noffs[:-1] + shift)
+                            shift += len(npool)
+                            row += count
+                        arrays = (reads, lens)
+                    item = ("batch", spans, acc, arrays, b"".join(pools),
+                            np.concatenate(offs))
+                spans, acc, maxlen = [], 0, 0
+                return item
+
             for sc in self._iter_fasta_pieces(reads_path, tm):
                 if range_hi is not None and r_global >= range_hi:
                     break
@@ -472,32 +523,32 @@ class SearchPipeline:
                         r_global += adv
                         continue
                     if lens_all[r] > threshold:
+                        b = flush()  # long reads emit in record order
+                        if b is not None:
+                            yield b
                         yield ("long", sc.record_name(r), sc.record_seq(r))
                         r += 1
                         r_global += 1
                         continue
                     e = r
-                    while (e < n_piece and e - r < self.batch_size
+                    lim = self.batch_size - acc
+                    while (e < n_piece and e - r < lim
                            and lens_all[e] <= threshold):
                         if range_hi is not None and r_global + (e - r) >= range_hi:
                             break
                         e += 1
                     count = e - r
-                    with tm.phase("pack"):
-                        lmax = max(_bucket_len64(int(lens_all[r:e].max())), packsize)
-                        # pack directly into batch_size rows (pad rows stay
-                        # zero): one jit shape per lmax, no np.pad copies
-                        if self._packed:  # 2-bit packing in C++ (memcpy speed)
-                            packed, vbits, lens, npool, noffs = sc.pack_2bit(
-                                r, count, lmax, rows=self.batch_size)
-                            arrays = (packed, vbits, lens)
-                        else:
-                            reads, lens, npool, noffs = sc.pack(
-                                r, count, lmax, rows=self.batch_size)
-                            arrays = (reads, lens)
-                    yield ("batch", sc, r, count, arrays, npool, noffs)
-                    r = e
-                    r_global += count
+                    if count:
+                        spans.append((sc, r, count))
+                        acc += count
+                        maxlen = max(maxlen, int(lens_all[r:e].max()))
+                        r = e
+                        r_global += count
+                    if acc >= self.batch_size:
+                        yield flush()
+            b = flush()
+            if b is not None:
+                yield b
             yield ("eof", min(r_global, range_hi) if range_hi is not None else r_global)
 
         with open(out_path, mode) as fo:
@@ -505,7 +556,14 @@ class SearchPipeline:
             fo.seek(out_bytes)
             done = skip
 
-            def finalize_native(sc, first, count, h, name_pool, name_offsets):
+            def row_seq(spans, i):
+                for sc, start, count in spans:
+                    if i < count:
+                        return sc.record_seq(start + i)
+                    i -= count
+                raise IndexError(i)
+
+            def finalize_native(spans, count, h, name_pool, name_offsets):
                 labels, counts, nuniq, found = self._unpack(h)
                 labels, counts, nuniq = labels[:count], counts[:count], nuniq[:count]
                 nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
@@ -519,7 +577,7 @@ class SearchPipeline:
                 else:
                     extra = {}
                     for i in over:
-                        hits = self._host_hits(sc.record_seq(first + int(i)))
+                        hits = self._host_hits(row_seq(spans, int(i)))
                         cnt = np.bincount(hits)
                         nz = np.flatnonzero(cnt)
                         extra[int(i)] = (nz, cnt[nz])
@@ -535,15 +593,15 @@ class SearchPipeline:
                             flat_l[a:b] = labels[i, : nu[i]]
                             flat_c[a:b] = counts[i, : nu[i]]
                 return self._vote_engine.vote_batch_pooled(
-                    count, name_pool, name_offsets[:-1], offsets, flat_l, flat_c
+                    count, name_pool, name_offsets, offsets, flat_l, flat_c
                 )
 
             def drain(block: bool):
                 nonlocal done
                 while pending and (block or len(pending) >= queue_depth):
-                    sc, first, count, h, npool, noffs = pending.pop(0)
+                    spans, count, h, npool, noffs = pending.pop(0)
                     with tm.phase("drain+vote"):
-                        lines = finalize_native(sc, first, count, h, npool, noffs)
+                        lines = finalize_native(spans, count, h, npool, noffs)
                     with tm.phase("write"):
                         fo.write(lines)
                         fo.flush()
@@ -566,7 +624,7 @@ class SearchPipeline:
                     done += 1
                     ckpt.commit(done, fo.tell())
                     continue
-                _, sc, first, count, arrays, npool, noffs = item
+                _, spans, count, arrays, npool, noffs = item
                 with tm.phase("dispatch"):
                     if self._packed:
                         handle = self.dispatch_packed(*arrays)
@@ -576,7 +634,7 @@ class SearchPipeline:
                         handle.copy_to_host_async()
                     except (AttributeError, NotImplementedError):
                         pass
-                pending.append((sc, first, count, handle, npool, noffs))
+                pending.append((spans, count, handle, npool, noffs))
                 drain(block=False)
             drain(block=True)
         ckpt.finish()
