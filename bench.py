@@ -119,6 +119,8 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / baseline, 3),
+        "kmers": num_kmers,
+        "table_kind": pipe.table_kind,
     }))
 
 
