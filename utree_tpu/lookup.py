@@ -502,6 +502,8 @@ def compact_histogram(ix_mat: jax.Array, num_labels: int, cap: int):
     # iterative unique extraction: `cap` rounds of (min, count) reductions.
     # TPU sorts and scatters both serialize badly; cap fused VPU reduction
     # passes over (B, W) are orders of magnitude faster for small cap.
+    # (A u16-lane variant was measured NOT faster on v5e - 193.6 vs 186.9
+    # ms/batch - XLA widens the lanes anyway; keep int32.)
     labels_list = []
     counts_list = []
     cur = jnp.full((b, 1), -1, jnp.int32)
