@@ -226,3 +226,72 @@ def test_canonical_geometry_tiers_exact(slots, load, slots2, slots3):
     got = np.sort(np.stack([np.asarray(ixa), np.asarray(ixb)]), axis=0)
     want = np.sort(np.stack([ref_f, ref_r]), axis=0)
     assert np.array_equal(got, want)
+
+
+def test_canonical_wide_labels_exact():
+    """IXTYPE=u32 DBs (label ids >= 65535) keep the canonical fast path via
+    WIDE 4-col slots; the dual-value multiset contract must hold."""
+    rng = np.random.default_rng(21)
+    words = np.unique(rng.integers(0, 1 << 64, size=30_000, dtype=np.uint64))
+    nlab = 70_000  # > 2^16 - 1
+    ixs = rng.integers(0, nlab, size=len(words)).astype(np.int64)
+    cfg = UTreeConfig(ixtype_bytes=4)
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(nlab)], cfg)
+    bs = index.device_put()
+    queries = np.concatenate([rng.choice(words, 3000),
+                              rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)])
+    qpre, qhi, qlo = _lanes(queries)
+    valid = np.ones(len(queries), bool)
+    bad = min(cfg.bad_ix, 0x7FFFFFFF)
+    ref_f = np.asarray(lookup_kmers(bs, qpre, qhi, qlo, valid, index.probe_iters, bad))
+    rc = _rc64(queries)
+    rpre, rhi, rlo = _lanes(rc)
+    ref_r = np.asarray(lookup_kmers(bs, rpre, rhi, rlo, valid, index.probe_iters, bad))
+    built = build_canonical_hash_index(index)
+    assert built.t1.shape[1] == built.slots * 4, "expected WIDE slots"
+    ch = built.device_put()
+    ixa, ixb = lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                      slots2=built.slots2, bad_ix=bad, do_rc=True,
+                                      wide=True)
+    got = np.sort(np.stack([np.asarray(ixa), np.asarray(ixb)]), axis=0)
+    want = np.sort(np.stack([ref_f, ref_r]), axis=0)
+    assert np.array_equal(got, want)
+    # non-RC variant returns exactly the forward-strand result
+    fwd = np.asarray(lookup_kmers_canonical(ch, qpre, qhi, qlo, valid, slots=built.slots,
+                                            slots2=built.slots2, bad_ix=bad,
+                                            do_rc=False, wide=True))
+    assert np.array_equal(fwd, ref_f)
+
+
+def test_wide_pipeline_modes_agree(tmp_path):
+    """End-to-end device pipeline with >65535 labels: the canonical WIDE
+    path, plain hash, and bsearch replay must produce identical output
+    bytes (and the pipeline must keep the 2-bit input path)."""
+    from utree_tpu.pipeline import SearchPipeline
+    from utree_tpu.testdata import make_toy_db, make_toy_reads
+    from utree_tpu.build import build_database
+    from utree_tpu.formats import write_ctr_from_ubt, write_ubt
+
+    recs = make_toy_db(str(tmp_path / "refs.fa"), str(tmp_path / "tax.map"),
+                       num_refs=10, ref_len=3000, seed=77)
+    make_toy_reads(str(tmp_path / "reads.fa"), recs, num_reads=200,
+                   read_len=120, seed=78)
+    cfg = UTreeConfig(ixtype_bytes=4, complevel=2)
+    res = build_database(str(tmp_path / "refs.fa"), str(tmp_path / "tax.map"), cfg)
+    write_ubt(str(tmp_path / "db.ubt"), res.words, res.ixs, res.labels.strings, cfg)
+    write_ctr_from_ubt(str(tmp_path / "db.ubt"), str(tmp_path / "db.ctr"), cfg)
+    outs = {}
+    for mode in ("canonical", "hash", "bsearch"):
+        idx = DeviceIndexArrays.from_ctr(str(tmp_path / "db.ctr"), cfg)
+        # force the WIDE entry layout: pretend the label space is u32-sized
+        # by padding the string table past 2^16
+        idx.strings = idx.strings + [b"pad%d" % i for i in range(70_000 - len(idx.strings))]
+        pipe = SearchPipeline(idx, do_rc=True, batch_size=64, lookup_mode=mode)
+        if mode == "canonical":
+            assert pipe.table_kind == "canonical"
+            assert pipe._table["c1"].shape[1] % 4 == 0
+            assert pipe._packed and not pipe._packed_out
+        pipe.search_file(str(tmp_path / "reads.fa"), str(tmp_path / f"out_{mode}.txt"))
+        outs[mode] = (tmp_path / f"out_{mode}.txt").read_bytes()
+    assert outs["canonical"] == outs["hash"] == outs["bsearch"]
+    assert outs["canonical"], "output should be non-empty"

@@ -266,14 +266,20 @@ def build_canonical_hash_index(
 
 def _canonical_groups(index: DeviceIndexArrays):
     """Reference-hit set folded to canonical dual-value groups: the entry
-    arrays every geometry places.  Returns (key_lo, key_hi, vals, cpre, chi,
-    clo, num_groups)."""
+    arrays every geometry places.  Returns (key_lo, key_hi, vals2d, cpre,
+    chi, clo, num_groups) where vals2d is (ng, 1) int32 packed u16 pairs for
+    label ids < 65535, or (ng, 2) int32 (va, vb) WIDE entries otherwise
+    (IXTYPE=u32 DBs keep the fast path; slots grow from 12B to 16B)."""
     cfg = index.config
     if cfg.packsize != 32:
         raise ValueError("canonical hash path implements k=32")
     pre, hi, lo, ix = _reference_hits(index)
-    if len(ix) and int(ix.max()) + 1 >= 1 << 16:
-        raise ValueError("canonical hash path requires label ids < 65535")
+    # wideness keys off num_labels — the SAME quantity the jitted step uses
+    # to pick the probe layout (a table built narrow but probed wide would
+    # silently mis-read)
+    wide = index.num_labels >= 0xFFFF
+    if wide and len(ix) and int(ix.max()) >= 0x7FFFFFFE:
+        raise ValueError("canonical hash path requires label ids < 2^31-1")
     w = (
         (pre.astype(np.uint64) << np.uint64(40))
         | (hi.astype(np.uint64) << np.uint64(32))
@@ -298,7 +304,10 @@ def _canonical_groups(index: DeviceIndexArrays):
     ck = cs[new]
     pal = ck == _rc64(ck)  # palindromic 32-mer: one word, hit on both scans
     vb[pal] = va[pal]
-    vals = (va | (vb << np.uint32(16))).view(np.int32)
+    if wide:
+        vals = np.stack([va.view(np.int32), vb.view(np.int32)], axis=1)
+    else:
+        vals = (va | (vb << np.uint32(16))).view(np.int32)[:, None]
     key_lo = (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
     key_hi = (ck >> np.uint64(32)).astype(np.uint32).view(np.int32)
     cpre = (ck >> np.uint64(40)).astype(np.int64)
@@ -322,10 +331,12 @@ def _group_pos(h: np.ndarray, b: int):
     return order, sb, pos
 
 
-def _fill(table: np.ndarray, sb, pos, src, key_lo, key_hi, vals):
-    table[sb, pos * 3] = key_lo[src]
-    table[sb, pos * 3 + 1] = key_hi[src]
-    table[sb, pos * 3 + 2] = vals[src]
+def _fill(table: np.ndarray, sb, pos, src, key_lo, key_hi, vals2d):
+    cps = 2 + vals2d.shape[1]  # cols per slot
+    table[sb, pos * cps] = key_lo[src]
+    table[sb, pos * cps + 1] = key_hi[src]
+    for v in range(vals2d.shape[1]):
+        table[sb, pos * cps + 2 + v] = vals2d[src, v]
 
 
 # 3-level tier limits: t2 stays narrow-rowed and HBM-resident, t3 absorbs
@@ -338,7 +349,8 @@ _T3_BYTE_CAP = 8 << 20
 def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
                      slots, load, slots2, t2_budget_entries,
                      slots3: int = 0) -> CanonicalHashArrays:
-    row_bytes = slots * 12
+    cps = 2 + vals.shape[1]  # cols per slot (3 narrow, 4 wide)
+    row_bytes = slots * cps * 4
     b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
     while b1 * row_bytes > _CANON_T1_CAP:
         b1 //= 2
@@ -359,13 +371,13 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
         if b1 * row_bytes * 2 > _CANON_T1_CAP:
             raise ValueError("canonical table would exceed the HBM budget")
         b1 *= 2
-    t1 = np.zeros((b1, slots * 3), np.int32)
+    t1 = np.zeros((b1, slots * cps), np.int32)
     _fill(t1, sb[fits], pos_in[fits], sb_order[fits], key_lo, key_hi, vals)
     spill = sb_order[~fits]
 
-    t3 = np.zeros((8, max(slots3, 1) * 3), np.int32)
+    t3 = np.zeros((8, max(slots3, 1) * cps), np.int32)
     if len(spill) == 0:
-        t2 = np.zeros((8, slots2 * 3), np.int32)  # shape<=8 rows: probe skipped
+        t2 = np.zeros((8, slots2 * cps), np.int32)  # shape<=8 rows: probe skipped
         return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
                                    slots2=slots2, slots3=max(slots3, 1),
                                    num_entries=ng)
@@ -382,10 +394,10 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
             n3 = int(over.sum())
             if n3 <= _T3_ENTRY_BUDGET:
                 break
-            if b2 * slots2 * 12 * 2 > _T2_BYTE_CAP:
+            if b2 * slots2 * cps * 4 * 2 > _T2_BYTE_CAP:
                 raise RuntimeError("canonical t2 overflow exceeds the t3 budget")
             b2 *= 2
-        t2 = np.zeros((b2, slots2 * 3), np.int32)
+        t2 = np.zeros((b2, slots2 * cps), np.int32)
         _fill(t2, sb2[~over], pos2[~over], spill[order2[~over]], key_lo, key_hi, vals)
         rest = spill[order2[over]]
         if len(rest):
@@ -396,9 +408,9 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
                 if len(pos3) == 0 or int(pos3.max()) < slots3:
                     break
                 b3 *= 2
-                if b3 * slots3 * 12 > _T3_BYTE_CAP:
+                if b3 * slots3 * cps * 4 > _T3_BYTE_CAP:
                     raise RuntimeError("canonical t3 overflow")
-            t3 = np.zeros((b3, slots3 * 3), np.int32)
+            t3 = np.zeros((b3, slots3 * cps), np.int32)
             _fill(t3, sb3, pos3, rest[order3], key_lo, key_hi, vals)
         return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
                                    slots2=slots2, slots3=slots3, num_entries=ng)
@@ -411,9 +423,9 @@ def _place_canonical(key_lo, key_hi, vals, cpre, chi, clo, ng,
         b2 *= 2
         # t2 may legitimately be LARGE in the HBM-spill tier; only a hard
         # byte cap (2GB) stops the growth spiral
-        if b2 * slots2 * 12 > 2 << 30:
+        if b2 * slots2 * cps * 4 > 2 << 30:
             raise RuntimeError("canonical spill table overflow")
-    t2 = np.zeros((b2, slots2 * 3), np.int32)
+    t2 = np.zeros((b2, slots2 * cps), np.int32)
     _fill(t2, sb2, pos2, spill[order2], key_lo, key_hi, vals)
     return CanonicalHashArrays(t1=t1, t2=t2, t3=t3, slots=slots,
                                slots2=slots2, slots3=max(slots3, 1),

@@ -301,6 +301,35 @@ def probe_rows(rows, key_lo, key_hi, nslots: int):
     return val
 
 
+def probe_rows_wide(rows, key_lo, key_hi, nslots: int):
+    """Wide-entry (4-col slot) variant of probe_rows: returns (va, vb) int32
+    raw values (label ix + 1; 0 = that orientation missing / empty slot)."""
+    va = jnp.zeros(key_lo.shape, jnp.int32)
+    vb = jnp.zeros(key_lo.shape, jnp.int32)
+    for s in range(nslots):
+        m = (
+            (rows[..., s * 4] == key_lo)
+            & (rows[..., s * 4 + 1] == key_hi)
+            & ((rows[..., s * 4 + 2] | rows[..., s * 4 + 3]) != 0)
+        )
+        va = jnp.where(m, rows[..., s * 4 + 2], va)
+        vb = jnp.where(m, rows[..., s * 4 + 3], vb)
+    return va, vb
+
+
+def decode_canonical_wide(va, vb, valid, fwd_le, bad_ix: int, do_rc: bool):
+    """(va, vb) raw wide values -> per-window label ids (multiset contract
+    identical to decode_canonical_vals; ids up to 2^31-2)."""
+    ia = va - 1
+    ib = vb - 1
+    if do_rc:
+        ix_a = jnp.where(valid & (ia >= 0), ia, bad_ix)
+        ix_b = jnp.where(valid & (ib >= 0), ib, bad_ix)
+        return ix_a, ix_b
+    fwd = jnp.where(fwd_le, ia, ib)
+    return jnp.where(valid & (fwd >= 0), fwd, bad_ix)
+
+
 def decode_canonical_vals(val, valid, fwd_le, bad_ix: int, do_rc: bool):
     """Packed dual value -> per-window label ids (the exact reference hit
     multiset; see CanonicalHashArrays)."""
@@ -316,7 +345,8 @@ def decode_canonical_vals(val, valid, fwd_le, bad_ix: int, do_rc: bool):
 
 
 def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
-                           slots: int, slots2: int, bad_ix: int, do_rc: bool):
+                           slots: int, slots2: int, bad_ix: int, do_rc: bool,
+                           wide: bool = False):
     """Canonical dual-value hash lookup (see hash_index.CanonicalHashArrays):
     ONE t1 row gather per position answers both strands.
 
@@ -326,13 +356,29 @@ def lookup_kmers_canonical(tables: dict, qpre, qhi, qlo, valid, *,
     t1, t2 = tables["c1"], tables["c2"]
     t3 = tables.get("c3")
     b1, b2 = t1.shape[0], t2.shape[0]
+    cps = 4 if wide else 3
     # jnp silently CLAMPS static out-of-bounds column indices, so a slot
     # mismatch would mis-probe instead of erroring — reject it here
-    if t1.shape[1] != slots * 3 or t2.shape[1] != slots2 * 3:
+    if t1.shape[1] != slots * cps or t2.shape[1] != slots2 * cps:
         raise ValueError("slot count does not match table geometry")
 
     key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
     bkt1, bkt2 = canonical_buckets(key_lo, key_hi, valid, b1, b2)
+    if wide:
+        va, vb = probe_rows_wide(t1[bkt1], key_lo, key_hi, slots)
+        if b2 > 8:
+            va2, vb2 = probe_rows_wide(t2[bkt2], key_lo, key_hi, slots2)
+            miss = (va | vb) == 0
+            va = jnp.where(miss, va2, va)
+            vb = jnp.where(miss, vb2, vb)
+        if t3 is not None and t3.shape[0] > 8:
+            slots3 = t3.shape[1] // cps
+            bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+            va3, vb3 = probe_rows_wide(t3[bkt3], key_lo, key_hi, slots3)
+            miss = (va | vb) == 0
+            va = jnp.where(miss, va3, va)
+            vb = jnp.where(miss, vb3, vb)
+        return decode_canonical_wide(va, vb, valid, fwd_le, bad_ix, do_rc)
     val = probe_rows(t1[bkt1], key_lo, key_hi, slots)
     if b2 > 8:  # spill probe (narrow rows; index derives from the key, so
         # all levels' gathers are independent and pipeline)
@@ -461,10 +507,12 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
     if "c1" in table and k == 32:
         codes = base_codes(reads_u8, lengths)
         qpre, qhi, qlo, valid = extract_windows(codes, k)
+        wide = num_labels >= 0xFFFF
+        cps = 4 if wide else 3
         r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
-                                   slots=table["c1"].shape[1] // 3,
-                                   slots2=table["c2"].shape[1] // 3,
-                                   bad_ix=bad_ix, do_rc=do_rc)
+                                   slots=table["c1"].shape[1] // cps,
+                                   slots2=table["c2"].shape[1] // cps,
+                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
         return jnp.concatenate(r, axis=1) if do_rc else r
     if "c64_1" in table and k == 64:
         from utree_tpu.hash_index64 import CANON64_SLOTS, CANON64_SLOTS2
@@ -559,10 +607,12 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     if "c1" in table:  # canonical: both strands from one probe per position
+        wide = num_labels >= 0xFFFF
+        cps = 4 if wide else 3
         r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
-                                   slots=table["c1"].shape[1] // 3,
-                                   slots2=table["c2"].shape[1] // 3,
-                                   bad_ix=bad_ix, do_rc=do_rc)
+                                   slots=table["c1"].shape[1] // cps,
+                                   slots2=table["c2"].shape[1] // cps,
+                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
         ix = jnp.concatenate(r, axis=1) if do_rc else r
     else:
         if do_rc:
@@ -587,3 +637,43 @@ def pack_hist(ix: jax.Array, num_labels: int, cap: int) -> jax.Array:
     lc = (labels + 1) | (counts << 16)
     tail = nuniq | (found << 5)
     return jnp.concatenate([lc, tail[:, None]], axis=1)
+
+
+def search_step_hist_packed_in(table: dict, packed: jax.Array,
+                               vbits: jax.Array, lengths: jax.Array, *,
+                               k: int, do_rc: bool, probe_iters: int,
+                               bad_ix: int, num_labels: int, cap: int = 16,
+                               true_len: int | None = None):
+    """2-bit-packed INPUT with the UNPACKED int32 histogram output
+    (B, 2*cap+2 = [labels | counts | nuniq | found]) — the layout for
+    IXTYPE=u32 DBs whose label ids do not fit the u16-packed output but
+    whose reads still deserve the 2.7x-smaller transfer."""
+    if true_len is not None and true_len < packed.shape[1] * 4:
+        packed = packed[:, : true_len // 4]
+        vbits = vbits[:, : true_len // 8]
+    codes = base_codes_packed(packed, vbits, lengths)
+    qpre, qhi, qlo, valid = extract_windows(codes, k)
+    if "c1" in table:
+        wide = num_labels >= 0xFFFF
+        cps = 4 if wide else 3
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
+                                   slots=table["c1"].shape[1] // cps,
+                                   slots2=table["c2"].shape[1] // cps,
+                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
+        ix = jnp.concatenate(r, axis=1) if do_rc else r
+    else:
+        if do_rc:
+            if k != 32:
+                raise NotImplementedError("packed path implements k=32")
+            rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+            qpre = jnp.concatenate([qpre, rpre], axis=1)
+            qhi = jnp.concatenate([qhi, rhi], axis=1)
+            qlo = jnp.concatenate([qlo, rlo], axis=1)
+            valid = jnp.concatenate([valid, valid], axis=1)
+        if "t1" in table:
+            ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
+        else:
+            ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+    labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
+    return jnp.concatenate(
+        [labels, counts, nuniq[:, None], found[:, None]], axis=1)

@@ -69,6 +69,10 @@ class ShardedCanonicalIndex:
 
     @classmethod
     def from_canonical(cls, c: CanonicalHashArrays, num_shards: int) -> "ShardedCanonicalIndex":
+        if c.t1.shape[1] != c.slots * 3:
+            raise NotImplementedError(
+                "routed mode implements narrow (u16-label) canonical tables; "
+                "wide (IXTYPE=u32) tables run single-chip or DP-replicated")
         b1 = c.t1.shape[0]
         if b1 % num_shards:
             raise ValueError("num_shards must divide the t1 bucket count")

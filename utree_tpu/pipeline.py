@@ -103,7 +103,6 @@ class SearchPipeline:
                 self.lookup_mode in ("auto", "canonical")
                 and use_hash
                 and cfg.packsize == 32
-                and self.index.num_labels < 0xFFFF
             ):
                 from utree_tpu.hash_index import build_canonical_hash_index
 
@@ -119,8 +118,7 @@ class SearchPipeline:
             elif use_hash:
                 if self.lookup_mode == "canonical":
                     raise RuntimeError(
-                        "--lookup-mode canonical requires PACKSIZE=32 and "
-                        f"fewer than 65535 labels (DB has {self.index.num_labels})"
+                        "--lookup-mode canonical requires PACKSIZE=32"
                     )
                 from utree_tpu.hash_index import build_hash_index
 
@@ -149,11 +147,20 @@ class SearchPipeline:
         # stage).  Never close over it: jit embeds captured arrays as MLIR
         # constants, which downloads the whole table to host at every
         # lowering — minutes per compile at GB scale.
-        self._packed = cfg.packsize == 32 and self.index.num_labels < 0xFFFF
-        if self._packed:
+        # Input 2-bit packing applies to every k=32 DB; the u16-PACKED output
+        # additionally needs label ids < 65535 (IXTYPE=u32 DBs use the
+        # unpacked int32 histogram layout instead).
+        self._packed = cfg.packsize == 32
+        self._packed_out = self._packed and self.index.num_labels < 0xFFFF
+        if self._packed_out:
             from utree_tpu.lookup import search_step_hist_packed
 
             self._step = jax.jit(functools.partial(search_step_hist_packed, **common),
+                                 static_argnames=("true_len",))
+        elif self._packed:
+            from utree_tpu.lookup import search_step_hist_packed_in
+
+            self._step = jax.jit(functools.partial(search_step_hist_packed_in, **common),
                                  static_argnames=("true_len",))
         else:
             self._step = jax.jit(functools.partial(search_step_hist, **common))
@@ -257,7 +264,7 @@ class SearchPipeline:
     def _unpack(self, handles):
         arr = np.asarray(handles)
         cap = self.hist_cap
-        if self._packed:
+        if self._packed_out:
             u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
             lc = u[:, :cap]
             labels = (lc & 0xFFFF).astype(np.int32) - 1
