@@ -768,45 +768,53 @@ class XtreeAligner:
     # ---- capitalist redistribution (xtree.c:1321-1403) ----------------------
 
     def _redistribute(self, master: np.ndarray, cbins, opts: AlignOptions):
+        """Capitalist redistribution (xtree.c:1321-1403), vectorized: the
+        per-query candidate scan runs column-wise over a padded (nq, Lmax)
+        matrix — each pass is Lmax vector ops instead of an nq x L Python
+        loop — replaying the scan's exact pick rules (strict '>' keeps the
+        FIRST max; the blank taxonomy first_ix only picks while nothing
+        else has)."""
         nq = len(master)
         sizes = [self.db.num_refs if opts.ref_out else 0, self.n_uniq_h[0], self.n_uniq_h[1]]
         for i in range(3):
             if not sizes[i]:
                 continue
-            tally = np.zeros(sizes[i], np.int64)
-            for q in range(nq):
-                for c in cbins[i][q]:
-                    tally[c] += 1
+            lists = cbins[i]
+            lmax = max((len(x) for x in lists), default=0)
+            cmat = np.full((nq, max(lmax, 1)), -1, np.int64)
+            for q, lst in enumerate(lists):
+                if lst:
+                    cmat[q, : len(lst)] = lst
             first_ix = -1
             if i > 0:
                 for j, s in enumerate(self.h_strings[i - 1]):
                     if not s:
                         first_ix = j
                         break
+            tally = np.bincount(cmat[cmat >= 0], minlength=sizes[i]).astype(np.int64)
+
+            def scan(tally):
+                which = np.full(nq, -1, np.int64)
+                mx = np.zeros(nq, np.int64)
+                for col in range(cmat.shape[1]):
+                    c = cmat[:, col]
+                    t = np.where(c >= 0, tally[np.maximum(c, 0)], 0)
+                    ok = (c >= 0) & (t > mx) & ((c != first_ix) | (which == -1))
+                    mx = np.where(ok, t, mx)
+                    which = np.where(ok, c, which)
+                return which
+
             changes = -1
             conv = nq // 100000
             max_pass = 1 if opts.do_fast_redist else 100
             p = 0
             while p < max_pass and (changes == -1 or changes > conv):
-                next_tally = np.zeros(sizes[i], np.int64)
-                for q in range(nq):
-                    which = -1
-                    mx = 0
-                    for c in cbins[i][q]:
-                        if tally[c] > mx and (c != first_ix or which == -1):
-                            mx, which = tally[c], c
-                    if which != -1:
-                        next_tally[which] += 1
+                which = scan(tally)
+                next_tally = np.bincount(which[which >= 0], minlength=sizes[i]).astype(np.int64)
                 changes = int(np.abs(tally - next_tally).sum())
                 tally = next_tally
                 p += 1
-            for q in range(nq):
-                which = -1
-                mx = 0
-                for c in cbins[i][q]:
-                    if tally[c] > mx and (c != first_ix or which == -1):
-                        mx, which = tally[c], c
-                master[q, i] = which
+            master[:, i] = scan(tally)
 
     # ---- writers -------------------------------------------------------------
 
