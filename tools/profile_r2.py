@@ -74,9 +74,10 @@ def main():
     tbl = pipe._table
     log(f"table: c1 {tbl['c1'].shape} ({tbl['c1'].nbytes/2**20:.0f}MB)  c2 {tbl['c2'].shape} ({tbl['c2'].nbytes/2**20:.2f}MB)")
 
+    from utree_tpu.hash_index import CANON_SLOTS, CANON_SLOTS2
     from utree_tpu.lookup import (
-        CANON_SLOTS, CANON_SLOTS2, base_codes_packed, compact_histogram,
-        extract_windows, lookup_kmers_canonical, pack_reads_host,
+        base_codes_packed, compact_histogram, extract_windows,
+        lookup_kmers_canonical, pack_reads_host,
     )
 
     lmax = 192
