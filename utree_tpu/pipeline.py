@@ -77,8 +77,11 @@ class SearchPipeline:
     def __post_init__(self):
         cfg = self.index.config
         if self._table is None:
+            # the canonical ladder was MEASURED to hold through 250M entries
+            # at undiminished speed (NOTES.md tier table); beyond this the
+            # ladder's own HBM caps decide, falling back to the replay arrays
             use_hash = self.lookup_mode in ("hash", "canonical") or (
-                self.lookup_mode == "auto" and self.index.num_records < 300_000_000
+                self.lookup_mode == "auto" and self.index.num_records < 400_000_000
             )
             if cfg.packsize == 64:
                 if self.lookup_mode not in ("auto", "canonical"):
