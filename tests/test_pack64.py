@@ -149,3 +149,70 @@ def test_device_pipeline64_rc_matches_oracle(toy64, tmp_path):
     out = tmp_path / "cls64_rc.txt"
     pipe.search_file(str(wd / "reads.fa"), str(out))
     assert out.read_bytes() == golden_rc["classifications"].read_bytes()
+
+
+def test_canonical64_three_level_tier_exact(toy64):
+    """The 64-mer 3-level ladder tier (narrow t2 + cached t3) answers
+    identically to the default geometry on the real built index."""
+    import numpy as np
+
+    from utree_tpu.hash_index64 import (_place64, _reference_hits64, _rc128,
+                                        build_canonical_hash_index64)
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.lookup import lookup_kmers_canonical64
+    from utree_tpu.encode import W128
+
+    index = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    base = build_canonical_hash_index64(index)
+
+    # rebuild with a forced-overloaded 3-level geometry (t3 exercised)
+    w_hi, w_lo, ix = _reference_hits64(index)
+    r_hi, r_lo = _rc128(w_hi, w_lo)
+    fwd_le = (w_hi < r_hi) | ((w_hi == r_hi) & (w_lo <= r_lo))
+    c_hi = np.where(fwd_le, w_hi, r_hi)
+    c_lo = np.where(fwd_le, w_lo, r_lo)
+    order = np.lexsort((c_lo, c_hi))
+    chs, cls = c_hi[order], c_lo[order]
+    isf = fwd_le[order]
+    ixs = ix[order]
+    new = np.ones(len(chs), bool)
+    new[1:] = (chs[1:] != chs[:-1]) | (cls[1:] != cls[:-1])
+    gid = np.cumsum(new) - 1
+    ng = int(gid[-1]) + 1
+    va = np.zeros(ng, np.int64); vb = np.zeros(ng, np.int64)
+    va[gid[isf]] = ixs[isf] + 1
+    vb[gid[~isf]] = ixs[~isf] + 1
+    ck_hi, ck_lo = chs[new], cls[new]
+    p_hi, p_lo = _rc128(ck_hi, ck_lo)
+    pal = (ck_hi == p_hi) & (ck_lo == p_lo)
+    vb[pal] = va[pal]
+    k0 = (ck_hi >> np.uint64(32)).astype(np.uint32)
+    k1 = (ck_hi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (ck_lo >> np.uint64(32)).astype(np.uint32)
+    k3 = (ck_lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lanes = [k0.view(np.int32), k1.view(np.int32), k2.view(np.int32),
+             k3.view(np.int32), va.astype(np.int32), vb.astype(np.int32)]
+    forced = _place64(lanes, k0, k1, k2, k3, ng, 2, 16.0, 1, 1 << 26, slots3=8)
+    assert forced.t3.shape[0] > 8, "t3 tail not exercised"
+
+    rng = np.random.default_rng(83)
+    qs = np.zeros(3000, dtype=W128)
+    pick = rng.integers(0, len(ck_hi), size=2000)
+    qs["hi"][:2000] = ck_hi[pick]
+    qs["lo"][:2000] = ck_lo[pick]
+    qs["hi"][2000:] = rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)
+    qs["lo"][2000:] = rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)
+    q0 = ((qs["hi"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    q1 = ((qs["hi"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    q2 = ((qs["lo"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    q3 = ((qs["lo"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    valid = np.ones(len(qs), bool)
+    miss = min(CFG64.bad_ix, 2**31 - 1)
+    a0, b0 = lookup_kmers_canonical64(base.device_put(), q0, q1, q2, q3, valid,
+                                      slots=base.slots, slots2=base.slots2,
+                                      miss=miss, do_rc=True)
+    a1, b1 = lookup_kmers_canonical64(forced.device_put(), q0, q1, q2, q3, valid,
+                                      slots=forced.slots, slots2=forced.slots2,
+                                      miss=miss, do_rc=True)
+    assert np.array_equal(np.asarray(a0), np.asarray(a1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))

@@ -103,14 +103,17 @@ def _reference_hits64(index: DeviceIndexArrays):
 class CanonicalHash64Arrays:
     t1: np.ndarray  # int32 (B1, slots*6)
     t2: np.ndarray  # int32 (B2, slots2*6)
+    t3: np.ndarray  # int32 (B3, slots3*6); 8-row sentinel = absent
     slots: int
     slots2: int
+    slots3: int
     num_entries: int
 
     def device_put(self):
         import jax
 
-        return {"c64_1": jax.device_put(self.t1), "c64_2": jax.device_put(self.t2)}
+        return {"c64_1": jax.device_put(self.t1), "c64_2": jax.device_put(self.t2),
+                "c64_3": jax.device_put(self.t3)}
 
 
 def _rc128(hi: np.ndarray, lo: np.ndarray):
@@ -132,10 +135,13 @@ def _group_positions(bucket: np.ndarray):
 
 def build_canonical_hash_index64(
     index: DeviceIndexArrays,
-    slots: int = CANON64_SLOTS,
-    load: float = CANON64_LOAD,
-    slots2: int = CANON64_SLOTS2,
+    slots: int | None = None,
+    load: float | None = None,
+    slots2: int | None = None,
 ) -> CanonicalHash64Arrays:
+    """64-mer canonical table with the same geometry LADDER as the 32-mer
+    one (hash_index.build_canonical_hash_index): tiny-cached-t2 tier, then
+    a 3-level narrow-row chain, then the wide-t2 fallback."""
     if index.config.packsize != 64 or index.s_hi64 is None:
         raise ValueError("canonical64 requires a PACKSIZE=64 index")
     w_hi, w_lo, ix = _reference_hits64(index)
@@ -172,39 +178,93 @@ def build_canonical_hash_index64(
     lanes = [k0.view(np.int32), k1.view(np.int32), k2.view(np.int32), k3.view(np.int32),
              va.astype(np.int32), vb.astype(np.int32)]
 
+    if slots is not None:
+        tiers = [(slots, load or CANON64_LOAD, slots2 or CANON64_SLOTS2,
+                  1 << 26, 0)]
+    else:
+        tiers = [
+            (CANON64_SLOTS, CANON64_LOAD, CANON64_SLOTS2, _CANON_T2_BUDGET // 24, 0),
+            (CANON64_SLOTS, 0.56, 2, 1 << 26, 8),
+            (CANON64_SLOTS, 0.56, 8, 1 << 26, 0),
+        ]
+    err = None
+    for s_, load_, s2_, budget_, s3_ in tiers:
+        try:
+            return _place64(lanes, k0, k1, k2, k3, ng, s_, load_, s2_, budget_, s3_)
+        except (ValueError, RuntimeError) as e:
+            err = e
+    raise ValueError(f"canonical64 table does not fit any geometry tier: {err}")
+
+
+def _fill64(table, sb, pos, src, lanes):
+    for j, lane in enumerate(lanes):
+        table[sb, pos * 6 + j] = lane[src]
+
+
+def _place64(lanes, k0, k1, k2, k3, ng, slots, load, slots2,
+             t2_budget_entries, slots3=0) -> CanonicalHash64Arrays:
     h1 = _mix4_np(k0, k1, k2, k3, 0)
     hb = _mix4_np(k0, k1, k2, k3, 0x6A09E667)
     with np.errstate(over="ignore"):
         g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
     b1 = max(8, 1 << int(np.ceil(np.log2(max(1, ng / (slots * load))))))
+    while b1 * slots * 24 > _CANON_T1_CAP:
+        b1 //= 2
     while True:
         order1, sb, pos = _group_positions((g & np.uint32(b1 - 1)).astype(np.int64))
         fits = pos < slots
-        if int((~fits).sum()) * 24 <= _CANON_T2_BUDGET:
+        if int((~fits).sum()) <= t2_budget_entries:
             break
         if b1 * slots * 24 * 2 > _CANON_T1_CAP:
             raise ValueError("canonical64 table would exceed the HBM budget")
         b1 *= 2
     t1 = np.zeros((b1, slots * 6), np.int32)
-    rows, cols, src = sb[fits], pos[fits], order1[fits]
-    for j, lane in enumerate(lanes):
-        t1[rows, cols * 6 + j] = lane[src]
+    _fill64(t1, sb[fits], pos[fits], order1[fits], lanes)
     spill = order1[~fits]
 
+    t3 = np.zeros((8, max(slots3, 1) * 6), np.int32)
     if len(spill) == 0:
         t2 = np.zeros((8, slots2 * 6), np.int32)
-        return CanonicalHash64Arrays(t1, t2, slots, slots2, ng)
+        return CanonicalHash64Arrays(t1, t2, t3, slots, slots2, max(slots3, 1), ng)
     h2 = _mix4_np(k0[spill], k1[spill], k2[spill], k3[spill], 0x5BD1E995)
-    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 // 2))))))
+
+    if slots3:
+        # 3-level chain: narrow t2 rows; its Poisson tail goes to cached t3
+        b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / (slots2 * 0.3))))))
+        while True:
+            order2, sb2, pos2 = _group_positions((h2 & np.uint32(b2 - 1)).astype(np.int64))
+            over = pos2 >= slots2
+            n3 = int(over.sum())
+            if n3 <= 120_000:
+                break
+            if b2 * slots2 * 24 * 2 > 1 << 30:
+                raise RuntimeError("canonical64 t2 overflow exceeds the t3 budget")
+            b2 *= 2
+        t2 = np.zeros((b2, slots2 * 6), np.int32)
+        _fill64(t2, sb2[~over], pos2[~over], spill[order2[~over]], lanes)
+        rest = spill[order2[over]]
+        if len(rest):
+            h3 = _mix4_np(k0[rest], k1[rest], k2[rest], k3[rest], 0x27D4EB2F)
+            b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(rest) / max(1, slots3 // 2))))))
+            while True:
+                order3, sb3, pos3 = _group_positions((h3 & np.uint32(b3 - 1)).astype(np.int64))
+                if len(pos3) == 0 or int(pos3.max()) < slots3:
+                    break
+                b3 *= 2
+                if b3 * slots3 * 24 > 8 << 20:
+                    raise RuntimeError("canonical64 t3 overflow")
+            t3 = np.zeros((b3, slots3 * 6), np.int32)
+            _fill64(t3, sb3, pos3, rest[order3], lanes)
+        return CanonicalHash64Arrays(t1, t2, t3, slots, slots2, slots3, ng)
+
+    b2 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spill) / max(1, slots2 // 2))))))
     while True:
         order2, sb2, pos2 = _group_positions((h2 & np.uint32(b2 - 1)).astype(np.int64))
         if len(pos2) == 0 or int(pos2.max()) < slots2:
             break
         b2 *= 2
-        if b2 > max(16, 2 * b1):
+        if b2 * slots2 * 24 > 2 << 30:
             raise RuntimeError("canonical64 spill table overflow")
     t2 = np.zeros((b2, slots2 * 6), np.int32)
-    src2 = spill[order2]
-    for j, lane in enumerate(lanes):
-        t2[sb2, pos2 * 6 + j] = lane[src2]
-    return CanonicalHash64Arrays(t1, t2, slots, slots2, ng)
+    _fill64(t2, sb2, pos2, spill[order2], lanes)
+    return CanonicalHash64Arrays(t1, t2, t3, slots, slots2, max(slots3, 1), ng)

@@ -424,6 +424,7 @@ def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
     from utree_tpu.hash_index64 import mix4
 
     t1, t2 = tables["c64_1"], tables["c64_2"]
+    t3 = tables.get("c64_3")
     b1, b2 = t1.shape[0], t2.shape[0]
     if t1.shape[1] != slots * 6 or t2.shape[1] != slots2 * 6:
         raise ValueError("slot count does not match table geometry")
@@ -473,6 +474,13 @@ def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
         hit1 = (va | vb) != 0
         va = jnp.where(hit1, va, va2)
         vb = jnp.where(hit1, vb, vb2)
+    if t3 is not None and t3.shape[0] > 8:  # 3-level tier: tiny cached tail
+        h3 = mix4(u(c0), u(c1), u(c2), u(c3), 0x27D4EB2F, jnp.uint32)
+        bkt3 = jnp.where(valid, (h3 & jnp.uint32(t3.shape[0] - 1)).astype(jnp.int32), 0)
+        va3, vb3 = probe(t3, bkt3, t3.shape[1] // 6)
+        hit = (va | vb) != 0
+        va = jnp.where(hit, va, va3)
+        vb = jnp.where(hit, vb, vb3)
     if do_rc:
         ix_a = jnp.where(valid & (va > 0), va - 1, miss)
         ix_b = jnp.where(valid & (vb > 0), vb - 1, miss)
@@ -515,13 +523,13 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
                                    bad_ix=bad_ix, do_rc=do_rc, wide=wide)
         return jnp.concatenate(r, axis=1) if do_rc else r
     if "c64_1" in table and k == 64:
-        from utree_tpu.hash_index64 import CANON64_SLOTS, CANON64_SLOTS2
-
         codes = base_codes(reads_u8, lengths)
         k0, k1, k2, k3, valid = extract_windows64(codes)
         r = lookup_kmers_canonical64(
-            table, k0, k1, k2, k3, valid, slots=CANON64_SLOTS,
-            slots2=CANON64_SLOTS2, miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
+            table, k0, k1, k2, k3, valid,
+            slots=table["c64_1"].shape[1] // 6,
+            slots2=table["c64_2"].shape[1] // 6,
+            miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
         return jnp.concatenate(r, axis=1) if do_rc else r
     qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
     if "t1" in table:
