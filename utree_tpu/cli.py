@@ -75,6 +75,9 @@ def _cmd_search(a):
                                                     search_file_multihost)
         from utree_tpu.pipeline import SearchPipeline
 
+        if a.num_hosts > 1 and (a.host_id is None or not a.coordinator):
+            raise SystemExit(
+                "search --num-hosts N (N>1) requires --host-id and --coordinator")
         init_distributed(a.coordinator, a.num_hosts, a.host_id)
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
         pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,

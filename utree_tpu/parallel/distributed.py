@@ -117,8 +117,9 @@ def search_file_multihost(pipe, reads_path: str, out_path: str, *,
     if h == 0:
         with open(out_path, "wb") as fo:
             for i in range(nh):
-                p = pathlib.Path(f"{out_path}.part{i}")
-                fo.write(p.read_bytes())
+                pp = pathlib.Path(f"{out_path}.part{i}")
+                fo.write(pp.read_bytes())
+                pp.unlink()
         print(f"multihost: {int(merged[0])} reads searched, "
               f"{int(merged[1])} classified across {nh} hosts")
     return n
