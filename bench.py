@@ -32,6 +32,13 @@ def main():
     num_reads = max(batch, (num_reads // batch) * batch)  # one jit shape
     num_labels = int(os.environ.get("BENCH_LABELS", 4096))
     do_rc = os.environ.get("BENCH_RC", "1") == "1"
+    # optional product-path variants (VERDICT r1 weak 1):
+    #   BENCH_CTR=1      round-trip the index through a real .ctr file
+    #   BENCH_GZ=1       gzip the reads file (gz ingestion path)
+    #   BENCH_LEN_MIX=100,150,250   cycle read lengths (ragged batches)
+    use_ctr = os.environ.get("BENCH_CTR", "0") == "1"
+    use_gz = os.environ.get("BENCH_GZ", "0") == "1"
+    len_mix = [int(x) for x in os.environ.get("BENCH_LEN_MIX", "").split(",") if x]
 
     from utree_tpu.config import UTreeConfig
     from utree_tpu.encode import sample_build_kmers
@@ -64,16 +71,31 @@ def main():
         tok = bytes(97 + stem)
         labels.append(b";".join(ranks[d : d + 1] + b"__" + tok + str(i % 97).encode() for d in range(8)))
     index = DeviceIndexArrays.from_build(sw, ixs, labels, cfg)
+    if use_ctr:
+        import tempfile
+
+        from utree_tpu.formats import write_ctr
+
+        ctr_dir = tempfile.mkdtemp(prefix="utree_bench_ctr_")
+        ctr_path = os.path.join(ctr_dir, "bench.ctr")
+        write_ctr(ctr_path, sw, ixs, labels, np.ones(len(labels), np.int64), cfg)
+        index = DeviceIndexArrays.from_ctr(ctr_path, cfg)
+        log(f"bench: index round-tripped through {ctr_path}")
     log(f"bench: index ready ({len(sw)} kmers, probe_iters={index.probe_iters})")
 
     # reads sampled from the genome (with light mutation) + 10% random
-    starts = rng.integers(0, genome_len - read_len, size=num_reads)
-    gather = starts[:, None] + np.arange(read_len)[None, :]
+    max_len = max([read_len] + len_mix)
+    starts = rng.integers(0, genome_len - max_len, size=num_reads)
+    gather = starts[:, None] + np.arange(max_len)[None, :]
     reads = genome[gather]
     mut = rng.random(reads.shape) < 0.01
     reads[mut] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=int(mut.sum()))
     rand_rows = rng.random(num_reads) < 0.10
-    reads[rand_rows] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(int(rand_rows.sum()), read_len))
+    reads[rand_rows] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(int(rand_rows.sum()), max_len))
+    if len_mix:
+        row_lens = np.array([len_mix[i % len(len_mix)] for i in range(num_reads)])
+    else:
+        row_lens = np.full(num_reads, read_len)
 
     from utree_tpu.utils.trace import PhaseTimer
 
@@ -87,18 +109,25 @@ def main():
     import tempfile
 
     tmpdir = tempfile.mkdtemp(prefix="utree_bench_")
-    reads_fa = os.path.join(tmpdir, "reads.fa")
+    reads_fa = os.path.join(tmpdir, "reads.fa.gz" if use_gz else "reads.fa")
     out_txt = os.path.join(tmpdir, "out.txt")
-    with open(reads_fa, "wb") as f:
-        chunks = []
-        for i in range(num_reads):
-            chunks.append(b">r%d\n" % i)
-            chunks.append(reads[i].tobytes() + b"\n")
-        f.write(b"".join(chunks))
+    chunks = []
+    for i in range(num_reads):
+        chunks.append(b">r%d\n" % i)
+        chunks.append(reads[i, : row_lens[i]].tobytes() + b"\n")
+    payload = b"".join(chunks)
+    if use_gz:
+        import gzip
+
+        with gzip.open(reads_fa, "wb", compresslevel=1) as f:
+            f.write(payload)
+    else:
+        with open(reads_fa, "wb") as f:
+            f.write(payload)
 
     # warmup (compile the one jit shape this file uses); dispatch-only — the
     # vote runs natively in search_file, no need to pay the Python fallback
-    seqs0 = [reads[i].tobytes() for i in range(batch)]
+    seqs0 = [reads[i, : row_lens[i]].tobytes() for i in range(batch)]
     np.asarray(pipe.dispatch(seqs0))
     log("bench: warmup/compile done")
 

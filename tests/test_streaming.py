@@ -95,3 +95,27 @@ def test_resume_across_pieces(toy, tmp_path):
     n = pipe2.search_file(toy["reads"], str(out), resume=True)
     assert n == 1000
     assert out.read_bytes() == a.read_bytes()
+
+
+def test_gz_input_native_driver_identical(toy, tmp_path):
+    """.gz reads stream through the native driver and produce the same
+    bytes as the plain file (the reference utree reads plain FASTA only;
+    gz is an ingestion extension matching xtree's gzread chunking)."""
+    import gzip
+
+    from utree_tpu.config import UTreeConfig
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.pipeline import SearchPipeline
+
+    cfg = UTreeConfig(complevel=1)
+    idx = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]), cfg)
+    gz = tmp_path / "reads.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(open(toy["reads"], "rb").read())
+    pipe = SearchPipeline(idx, do_rc=True, batch_size=128)
+    pipe.stream_chunk_bytes = 1 << 16
+    pipe.search_file(toy["reads"], str(tmp_path / "plain.txt"))
+    pipe.search_file(str(gz), str(tmp_path / "gz.txt"))
+    plain = (tmp_path / "plain.txt").read_bytes()
+    assert plain == (tmp_path / "gz.txt").read_bytes()
+    assert plain  # non-empty

@@ -390,9 +390,10 @@ class SearchPipeline:
         <out>.ckpt); the final output bytes equal an uninterrupted run.
         record_range=(lo, hi) processes only that slice of the file's records
         (the multi-host partition; parallel.distributed.host_read_range).
-        Plain (non-gz) files with the native runtime available take the
-        C++-scanner fast path."""
-        if not str(reads_path).endswith(".gz") and self._vote_engine is not None:
+        Files take the C++-scanner streaming path when the native runtime is
+        available; .gz inputs stream through zlib into the same piece
+        iterator (the reference's gzread chunking, xtree.c:180-204)."""
+        if self._vote_engine is not None:
             from utree_tpu.native import fasta_lib
 
             if fasta_lib() is not None:
@@ -418,7 +419,13 @@ class SearchPipeline:
         from utree_tpu.native import FastaScanner
 
         chunk_bytes = max(1 << 16, self.stream_chunk_bytes)
-        with open(reads_path, "rb") as f:
+        if str(reads_path).endswith(".gz"):
+            import gzip
+
+            opener = gzip.open
+        else:
+            opener = open
+        with opener(reads_path, "rb") as f:
             tail = b""
             while True:
                 with tm.phase("scan"):
