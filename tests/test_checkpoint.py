@@ -44,3 +44,43 @@ def test_resume_produces_identical_output(toy, tmp_path):
     assert n == 1000
     assert part.read_bytes() == full.read_bytes()
     assert not (tmp_path / "part.txt.ckpt").exists()
+
+
+def test_resume_with_record_range(toy, tmp_path):
+    """Resume + record_range must not double-add the range start (round-3
+    verified bug: ckpt stored absolute `done` but resume added range_lo again,
+    silently skipping records)."""
+    idx = DeviceIndexArrays.from_ctr(str(toy["golden"]["ctr"]))
+    pipe = SearchPipeline(idx, do_rc=False, batch_size=128)
+
+    lo, hi = 300, 800
+    full = tmp_path / "range_full.txt"
+    pipe.search_file(toy["reads"], str(full), record_range=(lo, hi))
+
+    part = tmp_path / "range_part.txt"
+
+    class Stop(Exception):
+        pass
+
+    count = {"n": 0}
+    orig = pipe._unpack
+
+    def bomb(handles):
+        if count["n"] >= 1:
+            raise Stop()
+        count["n"] += 1
+        return orig(handles)
+
+    pipe._unpack = bomb
+    try:
+        pipe.search_file(toy["reads"], str(part), record_range=(lo, hi))
+        raise AssertionError("should have been interrupted")
+    except Stop:
+        pass
+    pipe._unpack = orig
+    assert (tmp_path / "range_part.txt.ckpt").exists()
+
+    n = pipe.search_file(toy["reads"], str(part), resume=True,
+                         record_range=(lo, hi))
+    assert n == hi - lo
+    assert part.read_bytes() == full.read_bytes()

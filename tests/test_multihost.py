@@ -18,7 +18,9 @@ _WORKER = r"""
 import os, sys
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("XLA_FLAGS", None)
+# 2 local devices per process: catches per-host tallies overcounted by the
+# local device count (merge_sample_tallies regression)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, sys.argv[6])

@@ -105,3 +105,27 @@ def test_split_long_read_covers_all_windows():
     # windows per chunk = lens - 31 where positive; total must be n - k + 1
     total = sum(max(0, int(l) - 31) for l in lens)
     assert total == len(seq) - 31
+
+
+def test_replicated_dp_canonical_table(toy):
+    """DP mode must carry the canonical fast-path table (round-3 regression:
+    search_step NameError'd on canonical tables; replicated in_shardings
+    hardwired the bsearch dict)."""
+    from utree_tpu.hash_index import build_canonical_hash_index
+
+    index = _toy_index(toy)
+    mesh = make_mesh(data=8, table=1)
+    reads, lens = _reads(32, 150, seed=5)
+    canon = build_canonical_hash_index(index)
+    table = {"c1": canon.t1, "c2": canon.t2, "c3": canon.t3}
+    step = replicated_search_step(mesh, index, do_rc=True)
+    out = np.asarray(step(table, reads, lens))
+    cfg = index.config
+    ref = np.asarray(search_step(
+        table, reads, lens, k=cfg.packsize, do_rc=True,
+        probe_iters=index.probe_iters, bad_ix=cfg.bad_ix,
+        num_labels=index.num_labels))
+    assert np.array_equal(out, ref)
+    # and the canonical path agrees with the bsearch path
+    ref_bs = _single_device_ref(index, reads, lens, do_rc=True)
+    assert np.array_equal(out, ref_bs)

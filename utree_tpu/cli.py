@@ -78,7 +78,10 @@ def _cmd_search(a):
         if a.num_hosts > 1 and (a.host_id is None or not a.coordinator):
             raise SystemExit(
                 "search --num-hosts N (N>1) requires --host-id and --coordinator")
-        init_distributed(a.coordinator, a.num_hosts, a.host_id)
+        if a.num_hosts > 1:
+            init_distributed(a.coordinator, a.num_hosts, a.host_id)
+        # --num-hosts 1: run the same multihost driver single-process without
+        # jax.distributed (which needs a coordinator outside TPU pod envs)
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
         pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
                               support_ranges=a.support_ranges,

@@ -507,12 +507,15 @@ def window_lanes(reads_u8: jax.Array, lengths: jax.Array, k: int, do_rc: bool):
 
 def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
                 k: int, do_rc: bool, probe_iters: int, bad_ix: int,
-                hash_slots: int = 8):
+                hash_slots: int = 8, num_labels: int | None = None):
     """Full device step: ASCII reads -> per-window label ids (bad_ix = miss).
     Dispatches to the canonical path ("c1": one probe answers both strands)
     or the hash path ("t1"); RC words otherwise derive arithmetically from
-    the forward lanes (k=32)."""
+    the forward lanes (k=32).  `num_labels` is required for canonical tables
+    (it selects the narrow/wide entry layout)."""
     if "c1" in table and k == 32:
+        if num_labels is None:
+            raise ValueError("num_labels is required for canonical tables")
         codes = base_codes(reads_u8, lengths)
         qpre, qhi, qlo, valid = extract_windows(codes, k)
         wide = num_labels >= 0xFFFF

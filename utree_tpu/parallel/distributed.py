@@ -48,13 +48,25 @@ def merge_sample_tallies(local_tally: np.ndarray, mesh) -> np.ndarray:
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    def f(x):
-        return jax.lax.psum(x, ("data", "table"))
+    # `local_tally` is a PER-HOST value replicated over this host's local
+    # devices; a bare psum over the mesh would overcount by devices-per-host.
+    # Weight each device's contribution so exactly one device per process
+    # (its first, in mesh order) contributes — exact for any device layout.
+    seen: set[int] = set()
+    weights = np.zeros(mesh.devices.shape, np.int64)
+    for pos, dev in np.ndenumerate(mesh.devices):
+        if dev.process_index not in seen:
+            seen.add(dev.process_index)
+            weights[pos] = 1
+
+    def f(x, w):
+        return jax.lax.psum(x * w.reshape(()), ("data", "table"))
 
     return np.asarray(
         jax.jit(
-            jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P())
-        )(jnp.asarray(local_tally))
+            jax.shard_map(f, mesh=mesh,
+                          in_specs=(P(), P(*mesh.axis_names)), out_specs=P())
+        )(jnp.asarray(local_tally), jnp.asarray(weights))
     )
 
 
@@ -63,6 +75,7 @@ def count_fasta_records(path: str, chunk_bytes: int = 64 << 20) -> int:
     total to compute its slice)."""
     n = 0
     first = True
+    prev_nl = False  # did the previous chunk end with '\n'?
     with open(path, "rb") as f:
         while True:
             chunk = f.read(chunk_bytes)
@@ -72,7 +85,11 @@ def count_fasta_records(path: str, chunk_bytes: int = 64 << 20) -> int:
                 first = False
                 if chunk.startswith(b">"):
                     n += 1
+            elif prev_nl and chunk.startswith(b">"):
+                # '\n>' straddling the chunk boundary
+                n += 1
             n += chunk.count(b"\n>")
+            prev_nl = chunk.endswith(b"\n")
 
 
 def search_file_multihost(pipe, reads_path: str, out_path: str, *,

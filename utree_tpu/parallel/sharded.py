@@ -55,11 +55,13 @@ def replicated_search_step(mesh: Mesh, index: DeviceIndexArrays, do_rc: bool = F
     fn = functools.partial(
         search_step, k=cfg.packsize, do_rc=do_rc,
         probe_iters=index.probe_iters, bad_ix=cfg.bad_ix,
+        num_labels=index.num_labels,
     )
+    # `repl` is a pytree prefix: it replicates whatever table dict the caller
+    # passes (bsearch arrays OR canonical {c1,c2,c3} tables alike).
     return jax.jit(
         fn,
-        in_shardings=({"bin_ix": repl, "suf_hi": repl, "suf_lo": repl, "ix": repl},
-                      data_sharding, data_sharding),
+        in_shardings=(repl, data_sharding, data_sharding),
         out_shardings=data_sharding,
     )
 

@@ -623,7 +623,7 @@ class SearchPipeline:
                         fo.write(lines)
                         fo.flush()
                         done += count
-                        ckpt.commit(done, fo.tell())
+                        ckpt.commit(done - range_lo, fo.tell())
 
             n = skip
             for item in batches():
@@ -639,7 +639,7 @@ class SearchPipeline:
                             fo.write(line + b"\n")
                         fo.flush()
                     done += 1
-                    ckpt.commit(done, fo.tell())
+                    ckpt.commit(done - range_lo, fo.tell())
                     continue
                 _, spans, count, arrays, npool, noffs = item
                 with tm.phase("dispatch"):
@@ -689,7 +689,7 @@ class SearchPipeline:
                         fo.write(lines)
                         fo.flush()
                         done += len(bn)
-                        ckpt.commit(done, fo.tell())
+                        ckpt.commit(done - lo, fo.tell())
 
             for header, seq in iter_fasta_records(reads_path):
                 if hi is not None and n >= hi:
@@ -709,7 +709,7 @@ class SearchPipeline:
                         fo.write(line + b"\n")
                     fo.flush()
                     done += 1
-                    ckpt.commit(done, fo.tell())
+                    ckpt.commit(done - lo, fo.tell())
                     continue
                 names.append(name)
                 seqs.append(seq)
