@@ -47,6 +47,13 @@ def _cmd_search(a):
 
     tm = PhaseTimer(quiet=True) if a.trace else None
     cfg = sniff_config(a.db)
+    if cfg.packsize not in (32, 64) and not a.host and not a.rank_specific:
+        # the device window extractor implements the 32/64-mer geometries;
+        # small-k DBs (PACKSIZE=16) run the exact host path instead of
+        # crashing at first dispatch
+        print(f"note: PACKSIZE={cfg.packsize} DB -> host search path "
+              "(device path implements k=32/64)")
+        a.host = True
     if a.rank_specific:
         if a.support_ranges != 1:
             raise SystemExit("--support-ranges applies to the GG vote only "

@@ -74,7 +74,10 @@ def _words_le_bytes(words: np.ndarray, wtype_bytes: int) -> np.ndarray:
         out[:, :8] = words["lo"].astype("<u8").view(np.uint8).reshape(n, 8)
         out[:, 8:16] = words["hi"].astype("<u8").view(np.uint8).reshape(n, 8)
     else:
-        out[:, :8] = np.asarray(words, dtype="<u8").view(np.uint8).reshape(n, 8)
+        # small-k words (wtype_bytes 1/2/4) are the low LE bytes of the u64
+        w8 = np.asarray(words, dtype="<u8").view(np.uint8).reshape(n, 8)
+        nb = min(8, wtype_bytes)
+        out[:, :nb] = w8[:, :nb]
     return out
 
 
@@ -188,6 +191,12 @@ def write_ctr(
     counts: np.ndarray,
     config: UTreeConfig = UTreeConfig(),
 ) -> None:
+    if config.ctr_suffix_bytes < 1:
+        raise ValueError(
+            f"PACKSIZE={config.packsize} words ({config.wtype_bytes}B) cannot "
+            f"be compressed: the CTR trims {config.ctr_trim_bytes} prefix "
+            "bytes (itree.c:690-692); the reference supports COMPRESS/SEARCH "
+            "for PACKSIZE >= 16 only")
     n = len(words)
     bin_ix = compute_bin_ix(words, config.word_bits, config.ctr_prefix_bits)
     off_dtype = "<u4" if n < 0xFFFFFFFF else "<u8"  # numNodes < UINT32_MAX, itree.c:1303
