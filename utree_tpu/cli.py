@@ -92,7 +92,8 @@ def _cmd_search(a):
         idx = DeviceIndexArrays.from_ctr(a.db, cfg)
         pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
                               support_ranges=a.support_ranges,
-                              lookup_mode=a.lookup_mode, tracer=tm)
+                              lookup_mode=a.lookup_mode, tracer=tm,
+                              devices=a.devices or None)
         n = search_file_multihost(pipe, a.reads, a.out, resume=a.resume)
     else:
         from utree_tpu.index import DeviceIndexArrays
@@ -104,14 +105,16 @@ def _cmd_search(a):
             with tm.phase("build-table"):
                 pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
                                       support_ranges=a.support_ranges,
-                                      lookup_mode=a.lookup_mode, tracer=tm)
+                                      lookup_mode=a.lookup_mode, tracer=tm,
+                                      devices=a.devices or None)
             with Tracer(a.profile_dir), tm.phase("search"):
                 n = pipe.search_file(a.reads, a.out, resume=a.resume)
         else:
             idx = DeviceIndexArrays.from_ctr(a.db, cfg)
             pipe = SearchPipeline(idx, do_rc=a.rc, batch_size=a.batch,
                                   support_ranges=a.support_ranges,
-                                  lookup_mode=a.lookup_mode)
+                                  lookup_mode=a.lookup_mode,
+                                  devices=a.devices or None)
             with Tracer(a.profile_dir):
                 n = pipe.search_file(a.reads, a.out, resume=a.resume)
     if tm:
@@ -179,6 +182,10 @@ def main(argv=None):
                    "binary's output (itree.c:1096), 8 = the README-documented "
                    "per-rank variant (host vote)")
     s.add_argument("--batch", type=int, default=8192)
+    s.add_argument("--devices", type=int, default=0,
+                   help="single-host multi-chip: replicate the table into N "
+                        "chips' HBM and shard read batches over them "
+                        "(output bytes identical at any N)")
     s.add_argument("--lookup-mode", dest="lookup_mode", default="auto",
                    choices=("auto", "canonical", "hash", "bsearch"),
                    help="device table layout (auto picks by DB size)")

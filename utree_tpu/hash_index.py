@@ -78,10 +78,11 @@ class HashIndexArrays:
     slots: int
     num_entries: int
 
-    def device_put(self):
+    def device_put(self, sharding=None):
         import jax
 
-        return {"t1": jax.device_put(self.t1), "t2": jax.device_put(self.t2)}
+        return {"t1": jax.device_put(self.t1, sharding),
+                "t2": jax.device_put(self.t2, sharding)}
 
 
 def _reference_hits(index: DeviceIndexArrays):
@@ -213,11 +214,12 @@ class CanonicalHashArrays:
     slots3: int
     num_entries: int
 
-    def device_put(self):
+    def device_put(self, sharding=None):
         import jax
 
-        return {"c1": jax.device_put(self.t1), "c2": jax.device_put(self.t2),
-                "c3": jax.device_put(self.t3)}
+        return {"c1": jax.device_put(self.t1, sharding),
+                "c2": jax.device_put(self.t2, sharding),
+                "c3": jax.device_put(self.t3, sharding)}
 
 
 def build_canonical_hash_index(

@@ -109,11 +109,12 @@ class CanonicalHash64Arrays:
     slots3: int
     num_entries: int
 
-    def device_put(self):
+    def device_put(self, sharding=None):
         import jax
 
-        return {"c64_1": jax.device_put(self.t1), "c64_2": jax.device_put(self.t2),
-                "c64_3": jax.device_put(self.t3)}
+        return {"c64_1": jax.device_put(self.t1, sharding),
+                "c64_2": jax.device_put(self.t2, sharding),
+                "c64_3": jax.device_put(self.t3, sharding)}
 
 
 def _rc128(hi: np.ndarray, lo: np.ndarray):

@@ -65,6 +65,11 @@ class SearchPipeline:
     hist_cap: int = 8
     lookup_mode: str = "auto"  # "auto" | "canonical" | "hash" | "bsearch"
     support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
+    # devices > 1: single-host multi-chip DP — the table is replicated into
+    # every chip's HBM and read batches shard over a `data` mesh axis (the
+    # TPU answer to the reference's node-saturating OpenMP loop,
+    # itree.c:1009).  Output bytes are identical at any device count.
+    devices: int | None = None
     _table: dict = None
 
     use_native_vote: bool = True
@@ -76,6 +81,21 @@ class SearchPipeline:
 
     def __post_init__(self):
         cfg = self.index.config
+        self._mesh = None
+        self._repl = self._data = None
+        if self.devices and self.devices > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devs = jax.devices()
+            if len(devs) < self.devices:
+                raise ValueError(
+                    f"--devices {self.devices} requested but only "
+                    f"{len(devs)} present")
+            if self.batch_size % self.devices:
+                raise ValueError("batch_size must be divisible by devices")
+            self._mesh = Mesh(np.array(devs[: self.devices]), ("data",))
+            self._repl = NamedSharding(self._mesh, P())
+            self._data = NamedSharding(self._mesh, P("data"))
         if self._table is None:
             # the canonical ladder was MEASURED to hold through 250M entries
             # at undiminished speed (NOTES.md tier table); beyond this the
@@ -95,7 +115,7 @@ class SearchPipeline:
                 from utree_tpu.hash_index64 import build_canonical_hash_index64
 
                 try:
-                    self._table = build_canonical_hash_index64(self.index).device_put()
+                    self._table = build_canonical_hash_index64(self.index).device_put(self._repl)
                 except (ValueError, RuntimeError) as e:
                     raise RuntimeError(
                         "PACKSIZE=64 device search needs the canonical hash "
@@ -110,14 +130,14 @@ class SearchPipeline:
                 from utree_tpu.hash_index import build_canonical_hash_index
 
                 try:
-                    self._table = build_canonical_hash_index(self.index).device_put()
+                    self._table = build_canonical_hash_index(self.index).device_put(self._repl)
                 except (ValueError, RuntimeError) as e:
                     if self.lookup_mode == "canonical":
                         raise RuntimeError(
                             f"--lookup-mode canonical cannot be honored: {e}"
                         ) from e
                     # exceeds the HBM budget / degenerate spill -> replay path
-                    self._table = self.index.device_put()
+                    self._table = self.index.device_put(self._repl)
             elif use_hash:
                 if self.lookup_mode == "canonical":
                     raise RuntimeError(
@@ -125,9 +145,9 @@ class SearchPipeline:
                     )
                 from utree_tpu.hash_index import build_hash_index
 
-                self._table = build_hash_index(self.index).device_put()
+                self._table = build_hash_index(self.index).device_put(self._repl)
             else:
-                self._table = self.index.device_put()
+                self._table = self.index.device_put(self._repl)
         self._vote_engine = None
         if self.use_native_vote and self.support_ranges == 1:
             from utree_tpu.native import VoteEngine
@@ -155,18 +175,36 @@ class SearchPipeline:
         # unpacked int32 histogram layout instead).
         self._packed = cfg.packsize == 32
         self._packed_out = self._packed and self.index.num_labels < 0xFFFF
-        if self._packed_out:
-            from utree_tpu.lookup import search_step_hist_packed
+        # mesh mode: table replicated (pytree-prefix sharding), batch rows
+        # sharded over `data`; XLA auto-partitions the gather/elementwise work
+        shard_kw = {}
+        if self._mesh is not None:
+            shard_kw = dict(out_shardings=self._data)
+        if self._packed or self._packed_out:
+            from utree_tpu.lookup import (search_step_hist_packed,
+                                          search_step_hist_packed_in)
 
-            self._step = jax.jit(functools.partial(search_step_hist_packed, **common),
-                                 static_argnames=("true_len",))
-        elif self._packed:
-            from utree_tpu.lookup import search_step_hist_packed_in
+            raw = search_step_hist_packed if self._packed_out else search_step_hist_packed_in
+            base = functools.partial(raw, **common)
+            if self._mesh is not None:
+                # pjit forbids kwargs with in_shardings: adapt true_len to a
+                # static positional arg
+                def positional(table, packed, vbits, lens, true_len):
+                    return base(table, packed, vbits, lens, true_len=true_len)
 
-            self._step = jax.jit(functools.partial(search_step_hist_packed_in, **common),
-                                 static_argnames=("true_len",))
+                inner = jax.jit(positional, static_argnums=(4,),
+                                in_shardings=(self._repl, self._data,
+                                              self._data, self._data),
+                                **shard_kw)
+                self._step = lambda table, packed, vbits, lens, *, true_len: (
+                    inner(table, packed, vbits, lens, true_len))
+            else:
+                self._step = jax.jit(base, static_argnames=("true_len",))
         else:
-            self._step = jax.jit(functools.partial(search_step_hist, **common))
+            if self._mesh is not None:
+                shard_kw["in_shardings"] = (self._repl, self._data, self._data)
+            self._step = jax.jit(functools.partial(search_step_hist, **common),
+                                 **shard_kw)
 
     @property
     def table_kind(self) -> str:
@@ -200,7 +238,21 @@ class SearchPipeline:
         reads, lengths = self._pack(seqs)
         return self.dispatch_matrix(reads, lengths)
 
+    def _pad_rows(self, *arrays):
+        """Pad the batch (row) dim to a multiple of the mesh size; padded rows
+        have length 0 and classify to nothing."""
+        if self._mesh is None:
+            return arrays
+        d = self._mesh.devices.size
+        b = arrays[0].shape[0]
+        pad = (-b) % d
+        if pad == 0:
+            return arrays
+        return tuple(np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in arrays)
+
     def dispatch_matrix(self, reads: np.ndarray, lengths: np.ndarray):
+        reads, lengths = self._pad_rows(reads, lengths)
         if self._packed:
             from utree_tpu.lookup import pack_reads_host
 
@@ -208,6 +260,8 @@ class SearchPipeline:
                 reads = np.pad(reads, ((0, 0), (0, 8 - reads.shape[1] % 8)))
             packed, vbits, lens = pack_reads_host(reads, lengths)
             return self.dispatch_packed(packed, vbits, lens)
+        if self._mesh is not None:
+            return self._step(self._table, reads, lengths.astype(np.int32))
         return self._step(self._table, jax.device_put(reads),
                           jax.device_put(lengths.astype(np.int32)))
 
@@ -220,6 +274,10 @@ class SearchPipeline:
         k = self.index.config.packsize
         tl = int(lens.max()) if len(lens) else k
         tl = min(max(k, (tl + 7) & ~7), packed.shape[1] * 4)
+        packed, vbits, lens = self._pad_rows(packed, vbits, lens)
+        if self._mesh is not None:
+            # jit's in_shardings place the host arrays directly
+            return self._step(self._table, packed, vbits, lens, true_len=tl)
         return self._step(self._table, jax.device_put(packed),
                           jax.device_put(vbits), jax.device_put(lens),
                           true_len=tl)
