@@ -488,3 +488,192 @@ def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4
     t2[rows2, cols2 * 3 + 1] = key_hi[src2]
     t2[rows2, cols2 * 3 + 2] = ix[src2].astype(np.int32)
     return HashIndexArrays(t1=t1, t2=t2, slots=slots, num_entries=n)
+
+
+# --------------------------------------------------------------------------
+# Seeded-displacement canonical index ("tier S") — round 3.
+#
+# Measured (tools/bench_seed2.py, v5e, 150M entries): a probe = one scalar
+# seed gather (<= 64MB table: adds ~0ns even though the t1 index DEPENDS on
+# it) + ONE 2-slot 24B/32B row gather = 26.6 ns/probe, vs 46.7 for the
+# 3-level chain (two summing row gathers).  Placement freedom comes from a
+# per-bucket u8 seed chosen at build so nearly every entry lands in t1; the
+# residue lives in the tiny cached tail (same shape as the ladder's t3).
+# --------------------------------------------------------------------------
+
+_DISP_SEED_SALT = np.int64(0x94D049BB)
+_DISP_C1 = np.uint32(0x85EBCA6B)
+_DISP_C2 = np.uint32(0xC2B2AE35)
+_DISP_MAX_SEEDS = 256
+_DISP_LOAD = 0.62
+_DISP_SPILL_BUDGET = 400_000  # must stay cached (t3 grows ~16B/entry)
+
+
+@dataclasses.dataclass
+class DisplacedHashArrays:
+    """t1 (nslots/2, 2*cps) int32 2-slot rows; seeds = nseed u8 values packed
+    little-endian into int32 words; t3 = cached spill (8-row sentinel =
+    absent).  nslots = 2 * t1.shape[0]; nseed = 4 * len(seeds) (pow2)."""
+
+    t1: np.ndarray
+    seeds: np.ndarray  # int32 (nseed//4,)
+    t3: np.ndarray
+    slots3: int
+    num_entries: int
+    wide: bool
+
+    def device_put(self, sharding=None):
+        import jax
+
+        return {"d1": jax.device_put(self.t1, sharding),
+                "ds": jax.device_put(self.seeds, sharding),
+                "d3": jax.device_put(self.t3, sharding)}
+
+
+def _disp_slot_np(u2: np.ndarray, seed, nslots: int) -> np.ndarray:
+    """Slot index for (key-mix u2, seed) — numpy twin of the device mix."""
+    with np.errstate(over="ignore"):
+        s = np.uint32(seed) if np.isscalar(seed) else seed.astype(np.uint32)
+        h = (u2.astype(np.uint32) ^ (s * _DISP_C1)) * _DISP_C2
+    return (h % np.uint32(nslots)).astype(np.int64)
+
+
+def build_displaced_index(
+    index: DeviceIndexArrays,
+    load: float = _DISP_LOAD,
+    spill_budget: int = _DISP_SPILL_BUDGET,
+) -> DisplacedHashArrays:
+    key_lo, key_hi, vals, cpre, chi, clo, ng = _canonical_groups(index)
+    return place_displaced(key_lo, key_hi, vals, cpre, chi, clo, ng,
+                           load=load, spill_budget=spill_budget)
+
+
+def place_displaced(
+    key_lo, key_hi, vals, cpre, chi, clo, ng, *,
+    load: float = _DISP_LOAD,
+    spill_budget: int = _DISP_SPILL_BUDGET,
+) -> DisplacedHashArrays:
+    """Seed-choosing placement shared by the utree canonical entries and the
+    xtree (prefix, suffix) entries — anything with (lo32, hi32) key lanes."""
+    if ng == 0:
+        raise ValueError("empty index")
+    cps = 2 + vals.shape[1]
+    wide = vals.shape[1] == 2
+
+    # bucket = the SAME folded two-mix hash as the canonical t1 (probe twin:
+    # lookup.canonical_buckets); nseed pow2 with lambda in (2, 4]
+    nseed = max(4, 1 << int(np.ceil(np.log2(max(1, ng / 4)))))
+    if nseed > (1 << 26):
+        raise ValueError("seed table would exceed the measured-free 64MB")
+    h1 = _mix_np(cpre, chi, clo)
+    hb = _mix_np(cpre, chi, clo ^ np.int64(0x6A09E667))
+    g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
+    bucket = (g & np.uint32(nseed - 1)).astype(np.int64)
+
+    nslots = int(ng / load) & ~1  # even: row = slot >> 1
+    nslots = max(nslots, 64)
+    if nslots // 2 * (2 * cps) * 4 > _CANON_T1_CAP:
+        raise ValueError("displaced t1 would exceed the HBM budget")
+    u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
+
+    occupied = np.zeros(nslots, bool)
+    slot_of = np.full(ng, -1, np.int64)
+    seed_of = np.zeros(nseed, np.uint8)
+    active = np.arange(ng, dtype=np.int64)
+
+    # round-based parallel greedy: in round r every still-unplaced bucket
+    # tries seed r; buckets whose keys all land on free, round-unique slots
+    # place atomically.  Work decays geometrically with rounds.
+    for r in range(_DISP_MAX_SEEDS):
+        if len(active) == 0:
+            break
+        slot = _disp_slot_np(u2[active], r, nslots)
+        cnt = np.bincount(slot, minlength=nslots)
+        ok_key = (~occupied[slot]) & (cnt[slot] == 1)
+        del cnt
+        ab = bucket[active]
+        bad_bucket = np.bincount(ab[~ok_key], minlength=nseed) > 0
+        place = ~bad_bucket[ab]
+        if place.any():
+            ps = slot[place]
+            occupied[ps] = True
+            slot_of[active[place]] = ps
+            seed_of[ab[place]] = r
+            active = active[~place]
+        # stragglers past the cheap rounds: finish per-bucket below
+        if len(active) <= 200_000 and r >= 16:
+            break
+
+    # best-seed partial placement for remaining buckets (spill only the keys
+    # the best seed cannot place)
+    spill: list[np.ndarray] = []
+    if len(active):
+        order = np.argsort(bucket[active], kind="stable")
+        act = active[order]
+        ab = bucket[act]
+        starts = np.flatnonzero(np.concatenate(([True], ab[1:] != ab[:-1])))
+        ends = np.append(starts[1:], len(act))
+        for a, b in zip(starts, ends):
+            keys = act[a:b]
+            best_s, best_mask, best_n = 0, None, -1
+            for s in range(_DISP_MAX_SEEDS):
+                sl = _disp_slot_np(u2[keys], s, nslots)
+                free = ~occupied[sl]
+                uniq = np.ones(len(sl), bool)
+                su = np.argsort(sl, kind="stable")
+                ss = sl[su]
+                d = ss[1:] == ss[:-1]
+                dup = np.zeros(len(ss), bool)
+                dup[1:] = d
+                dup[:-1] |= d
+                uniq[su[dup]] = False
+                ok = free & uniq
+                n = int(ok.sum())
+                if n > best_n:
+                    best_s, best_mask, best_n = s, ok, n
+                    if n == len(keys):
+                        break
+            sl = _disp_slot_np(u2[keys], best_s, nslots)
+            occupied[sl[best_mask]] = True
+            slot_of[keys[best_mask]] = sl[best_mask]
+            seed_of[ab[a]] = best_s
+            if best_n < len(keys):
+                spill.append(keys[~best_mask])
+
+    spilled = np.concatenate(spill) if spill else np.zeros(0, np.int64)
+    if len(spilled) > spill_budget:
+        raise ValueError(
+            f"displaced spill {len(spilled)} exceeds the cached budget")
+
+    placed = slot_of >= 0
+    t1 = np.zeros((nslots // 2, 2 * cps), np.int32)
+    psl = slot_of[placed]
+    rows = psl >> 1
+    cols = (psl & 1).astype(np.int64)
+    src = np.flatnonzero(placed)
+    t1[rows, cols * cps] = key_lo[src]
+    t1[rows, cols * cps + 1] = key_hi[src]
+    for v in range(vals.shape[1]):
+        t1[rows, cols * cps + 2 + v] = vals[src, v]
+
+    slots3 = 16
+    t3 = np.zeros((8, slots3 * cps), np.int32)
+    if len(spilled):
+        h3 = _mix_np(cpre[spilled], chi[spilled], clo[spilled] ^ np.int64(0x27D4EB2F))
+        b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (slots3 // 2))))))
+        while True:
+            order3, sb3, pos3 = _group_pos(h3, b3)
+            if len(pos3) == 0 or int(pos3.max()) < slots3:
+                break
+            b3 *= 2
+            if b3 * slots3 * cps * 4 > _T3_BYTE_CAP:
+                raise ValueError("displaced spill tail overflow")
+        t3 = np.zeros((b3, slots3 * cps), np.int32)
+        _fill(t3, sb3, pos3, spilled[order3], key_lo, key_hi, vals)
+
+    # packed-u8 seed words, little-endian nibble order matching the probe
+    pad = (-len(seed_of)) % 4
+    sw = np.concatenate([seed_of, np.zeros(pad, np.uint8)])
+    seeds32 = sw.view("<u4").view(np.int32)
+    return DisplacedHashArrays(t1=t1, seeds=seeds32, t3=t3, slots3=slots3,
+                               num_entries=ng, wide=wide)

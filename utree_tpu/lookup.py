@@ -513,18 +513,14 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
     or the hash path ("t1"); RC words otherwise derive arithmetically from
     the forward lanes (k=32).  `num_labels` is required for canonical tables
     (it selects the narrow/wide entry layout)."""
-    if "c1" in table and k == 32:
+    if ("c1" in table or "d1" in table) and k == 32:
         if num_labels is None:
             raise ValueError("num_labels is required for canonical tables")
         codes = base_codes(reads_u8, lengths)
         qpre, qhi, qlo, valid = extract_windows(codes, k)
-        wide = num_labels >= 0xFFFF
-        cps = 4 if wide else 3
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
-                                   slots=table["c1"].shape[1] // cps,
-                                   slots2=table["c2"].shape[1] // cps,
-                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
-        return jnp.concatenate(r, axis=1) if do_rc else r
+        return _canonical_family_ix(table, qpre, qhi, qlo, valid,
+                                    bad_ix=bad_ix, do_rc=do_rc,
+                                    num_labels=num_labels)
     if "c64_1" in table and k == 64:
         codes = base_codes(reads_u8, lengths)
         k0, k1, k2, k3, valid = extract_windows64(codes)
@@ -617,14 +613,10 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
         vbits = vbits[:, : true_len // 8]
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
-    if "c1" in table:  # canonical: both strands from one probe per position
-        wide = num_labels >= 0xFFFF
-        cps = 4 if wide else 3
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
-                                   slots=table["c1"].shape[1] // cps,
-                                   slots2=table["c2"].shape[1] // cps,
-                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
-        ix = jnp.concatenate(r, axis=1) if do_rc else r
+    if "c1" in table or "d1" in table:  # canonical family: one probe, both strands
+        ix = _canonical_family_ix(table, qpre, qhi, qlo, valid,
+                                  bad_ix=bad_ix, do_rc=do_rc,
+                                  num_labels=num_labels)
     else:
         if do_rc:
             if k != 32:
@@ -664,14 +656,10 @@ def search_step_hist_packed_in(table: dict, packed: jax.Array,
         vbits = vbits[:, : true_len // 8]
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
-    if "c1" in table:
-        wide = num_labels >= 0xFFFF
-        cps = 4 if wide else 3
-        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
-                                   slots=table["c1"].shape[1] // cps,
-                                   slots2=table["c2"].shape[1] // cps,
-                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
-        ix = jnp.concatenate(r, axis=1) if do_rc else r
+    if "c1" in table or "d1" in table:  # canonical family: one probe, both strands
+        ix = _canonical_family_ix(table, qpre, qhi, qlo, valid,
+                                  bad_ix=bad_ix, do_rc=do_rc,
+                                  num_labels=num_labels)
     else:
         if do_rc:
             if k != 32:
@@ -688,3 +676,81 @@ def search_step_hist_packed_in(table: dict, packed: jax.Array,
     labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
     return jnp.concatenate(
         [labels, counts, nuniq[:, None], found[:, None]], axis=1)
+
+
+def lookup_kmers_displaced(tables: dict, qpre, qhi, qlo, valid, *,
+                           bad_ix: int, do_rc: bool, wide: bool = False):
+    """Seeded-displacement canonical lookup (hash_index.DisplacedHashArrays):
+    a scalar u8 seed gather (<= 64MB table: measured free even though the t1
+    index depends on it, tools/bench_seed2.py) then ONE 2-slot row gather —
+    26.6 ns/probe at 150M entries vs 46.7 for the 3-level chain."""
+    key_lo, key_hi, fwd_le = canonical_keys(qpre, qhi, qlo)
+    r = displaced_probe_raw(tables, key_lo, key_hi, valid, wide=wide)
+    if wide:
+        return decode_canonical_wide(r[0], r[1], valid, fwd_le, bad_ix, do_rc)
+    return decode_canonical_vals(r, valid, fwd_le, bad_ix, do_rc)
+
+
+def displaced_probe_raw(tables: dict, key_lo, key_hi, valid, *, wide: bool):
+    """Core displaced probe on generic (lo32, hi32) key lanes: scalar seed
+    gather -> one 2-slot row gather -> cached t3 tail.  Returns the raw
+    packed value (narrow) or (va, vb) int32 pair (wide); 0 = miss."""
+    t1, seeds = tables["d1"], tables["ds"]
+    t3 = tables.get("d3")
+    cps = 4 if wide else 3
+    if t1.shape[1] != 2 * cps:
+        raise ValueError("displaced t1 must have 2-slot rows")
+    nslots = 2 * t1.shape[0]
+    nseed = 4 * seeds.shape[0]
+
+    c_lo = key_lo.astype(jnp.uint32)
+    c_hi32 = key_hi.astype(jnp.uint32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+    # bucket: same folded two-mix as the canonical t1 (builder twin)
+    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
+    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
+    gfold = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
+    bkt = jnp.where(valid, (gfold & jnp.uint32(nseed - 1)).astype(jnp.int32), 0)
+    word = seeds[bkt >> 2]
+    seed = (
+        jax.lax.bitcast_convert_type(word, jnp.uint32)
+        >> ((bkt & 3) << 3).astype(jnp.uint32)
+    ) & jnp.uint32(0xFF)
+    u2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x94D049BB))
+    h = (u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
+    slot = jnp.where(valid, (h % jnp.uint32(nslots)).astype(jnp.int32), 0)
+    rows = t1[slot >> 1]
+    if wide:
+        va, vb = probe_rows_wide(rows, key_lo, key_hi, 2)
+        if t3 is not None and t3.shape[0] > 8:
+            bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+            va3, vb3 = probe_rows_wide(t3[bkt3], key_lo, key_hi,
+                                       t3.shape[1] // cps)
+            miss = (va | vb) == 0
+            va = jnp.where(miss, va3, va)
+            vb = jnp.where(miss, vb3, vb)
+        return va, vb
+    val = probe_rows(rows, key_lo, key_hi, 2)
+    if t3 is not None and t3.shape[0] > 8:
+        bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+        val = jnp.where(val != 0, val,
+                        probe_rows(t3[bkt3], key_lo, key_hi, t3.shape[1] // 3))
+    return val
+
+
+def _canonical_family_ix(table: dict, qpre, qhi, qlo, valid, *,
+                         bad_ix: int, do_rc: bool, num_labels: int):
+    """Dispatch the canonical-key table layouts ('c1' ladder / 'd1'
+    displaced) to per-window ids; concatenates the RC lanes."""
+    wide = num_labels >= 0xFFFF
+    cps = 4 if wide else 3
+    if "d1" in table:
+        r = lookup_kmers_displaced(table, qpre, qhi, qlo, valid,
+                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
+    else:
+        r = lookup_kmers_canonical(table, qpre, qhi, qlo, valid,
+                                   slots=table["c1"].shape[1] // cps,
+                                   slots2=table["c2"].shape[1] // cps,
+                                   bad_ix=bad_ix, do_rc=do_rc, wide=wide)
+    return jnp.concatenate(r, axis=1) if do_rc else r

@@ -63,7 +63,7 @@ class SearchPipeline:
     # cheaper on-chip, and reads with >8 unique labels (rare: a read hits ~1-2
     # genomes) are recomputed exactly on host via the overflow path
     hist_cap: int = 8
-    lookup_mode: str = "auto"  # "auto" | "canonical" | "hash" | "bsearch"
+    lookup_mode: str = "auto"  # auto|canonical|displaced|hash|bsearch
     support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
     # devices > 1: single-host multi-chip DP — the table is replicated into
     # every chip's HBM and read batches shard over a `data` mesh axis (the
@@ -100,7 +100,7 @@ class SearchPipeline:
             # the canonical ladder was MEASURED to hold through 250M entries
             # at undiminished speed (NOTES.md tier table); beyond this the
             # ladder's own HBM caps decide, falling back to the replay arrays
-            use_hash = self.lookup_mode in ("hash", "canonical") or (
+            use_hash = self.lookup_mode in ("hash", "canonical", "displaced") or (
                 self.lookup_mode == "auto" and self.index.num_records < 400_000_000
             )
             if cfg.packsize == 64:
@@ -123,21 +123,39 @@ class SearchPipeline:
                         "host path (search --host)"
                     ) from e
             elif (
-                self.lookup_mode in ("auto", "canonical")
+                self.lookup_mode in ("auto", "canonical", "displaced")
                 and use_hash
                 and cfg.packsize == 32
             ):
-                from utree_tpu.hash_index import build_canonical_hash_index
+                from utree_tpu.hash_index import (build_canonical_hash_index,
+                                                  build_displaced_index)
 
-                try:
-                    self._table = build_canonical_hash_index(self.index).device_put(self._repl)
-                except (ValueError, RuntimeError) as e:
-                    if self.lookup_mode == "canonical":
-                        raise RuntimeError(
-                            f"--lookup-mode canonical cannot be honored: {e}"
-                        ) from e
-                    # exceeds the HBM budget / degenerate spill -> replay path
-                    self._table = self.index.device_put(self._repl)
+                # auto ordering by measured ns/probe (NOTES.md round 3):
+                # <= ~80M entries the 2-slot ladder tier A (~15ns t1) wins;
+                # above it the seeded-displacement table (26.6ns at 150M,
+                # scale-independent) replaces the 3-level chain (46.7ns)
+                self._table = None
+                if self.lookup_mode == "displaced" or (
+                    self.lookup_mode == "auto"
+                    and self.index.num_records >= 80_000_000
+                ):
+                    try:
+                        self._table = build_displaced_index(self.index).device_put(self._repl)
+                    except (ValueError, RuntimeError) as e:
+                        if self.lookup_mode == "displaced":
+                            raise RuntimeError(
+                                f"--lookup-mode displaced cannot be honored: {e}"
+                            ) from e
+                if self._table is None:
+                    try:
+                        self._table = build_canonical_hash_index(self.index).device_put(self._repl)
+                    except (ValueError, RuntimeError) as e:
+                        if self.lookup_mode == "canonical":
+                            raise RuntimeError(
+                                f"--lookup-mode canonical cannot be honored: {e}"
+                            ) from e
+                        # exceeds the HBM budget / degenerate spill -> replay path
+                        self._table = self.index.device_put(self._repl)
             elif use_hash:
                 if self.lookup_mode == "canonical":
                     raise RuntimeError(
@@ -209,9 +227,11 @@ class SearchPipeline:
     @property
     def table_kind(self) -> str:
         """Which device table layout this pipeline resolved to:
-        'canonical' (dual-value hash), 'canonical64', 'hash', or 'bsearch'
+        'displaced' (seeded), 'canonical' (ladder), 'canonical64', 'hash', 'bsearch'
         (probe-replay).  Benches report it so regimes are identifiable."""
         t = self._table
+        if "d1" in t:
+            return "displaced"
         if "c1" in t:
             return "canonical"
         if "c64_1" in t:
