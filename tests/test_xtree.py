@@ -168,3 +168,42 @@ def test_onepast_hardstop_vs_oracle(tmp_path):
         perq_out=str(tmp_path / "o_perq.tsv"), tax_out=str(tmp_path / "o_tax.tsv")))
     for name in ["perq", "tax"]:
         assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name
+
+
+def test_device_hits_equal_host(xtoy):
+    """Device displaced-hash front end produces the identical (qid, prefix,
+    seed) hit arrays as the host LBS_k replay — one-past quirk included."""
+    import numpy as np
+
+    from utree_tpu.xtree.io import iter_queries
+
+    db = read_xtr(str(xtoy / "gold.xtr"))
+    host = XtreeAligner(db)
+    dev = XtreeAligner(db, use_device=True)
+    heads, seqs = [], []
+    for h, s in iter_queries(str(xtoy / "reads.fa")):
+        heads.append(h)
+        seqs.append(s)
+    # add adversarial queries: Ns, short, all-A, and a long stitched one
+    seqs += [b"ACGTN" * 30, b"ACG", b"A" * 64, seqs[0] + b"N" + seqs[1]]
+    qh, ph, sh = host._batch_hits(seqs)
+    qd, pd, sd = dev._batch_hits_device(seqs)
+    assert np.array_equal(qh, qd)
+    assert np.array_equal(ph, pd)
+    assert np.array_equal(sh, sd)
+
+
+def test_device_align_outputs_identical(xtoy, tmp_path):
+    """Full ALIGN with the device front end == the reference binary."""
+    run_xtree_oracle([
+        "ALIGN", "--db", str(xtoy / "gold.xtr"), "--seqs", str(xtoy / "reads.fa"),
+        "--perq-out", str(tmp_path / "g_perq.tsv"), "--ref-out", str(tmp_path / "g_ref.tsv"),
+        "--tax-out", str(tmp_path / "g_tax.tsv"), "--cov-out", str(tmp_path / "g_cov.tsv"),
+    ])
+    al = XtreeAligner(read_xtr(str(xtoy / "gold.xtr")), use_device=True)
+    al.align_file(str(xtoy / "reads.fa"), AlignOptions(
+        perq_out=str(tmp_path / "o_perq.tsv"), ref_out=str(tmp_path / "o_ref.tsv"),
+        tax_out=str(tmp_path / "o_tax.tsv"), cov_out=str(tmp_path / "o_cov.tsv"),
+    ))
+    for name in ["perq", "ref", "tax", "cov"]:
+        assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name

@@ -144,7 +144,7 @@ def _cmd_xtree_align(a):
             conf = a.confidence
         else:
             n_uniq = int(a.confidence)
-    al = XtreeAligner(read_xtr(a.db))
+    al = XtreeAligner(read_xtr(a.db), use_device=a.device)
     al.align_file(a.seqs, AlignOptions(
         confidence=conf, n_uniq_matches=n_uniq,
         do_full_lca=not a.shallow_lca,
@@ -187,7 +187,7 @@ def main(argv=None):
                         "chips' HBM and shard read batches over them "
                         "(output bytes identical at any N)")
     s.add_argument("--lookup-mode", dest="lookup_mode", default="auto",
-                   choices=("auto", "canonical", "hash", "bsearch"),
+                   choices=("auto", "canonical", "displaced", "hash", "bsearch"),
                    help="device table layout (auto picks by DB size)")
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")
@@ -218,6 +218,9 @@ def main(argv=None):
     xa.add_argument("--tax-out", dest="tax_out")
     xa.add_argument("--cov-out", dest="cov_out")
     xa.add_argument("--orthog-out", dest="orthog_out")
+    xa.add_argument("--device", action="store_true",
+                    help="TPU displaced-hash k-mer probe (host voting): "
+                         "identical outputs, device-speed matching")
     xa.add_argument("--redistribute", action="store_true")
     xa.add_argument("--fast-redistribute", dest="fast_redistribute", action="store_true")
     xa.add_argument("--shallow-lca", dest="shallow_lca", action="store_true")

@@ -91,7 +91,7 @@ class XtreeAligner:
     #: whole chunk; per-query Python work is O(1) string formatting)
     chunk_queries: int = 8192
 
-    def __init__(self, db: XtreeDB):
+    def __init__(self, db: XtreeDB, use_device: bool = False):
         self.db = db
         self.k = db.pl + db.sl
         self.pl = db.pl
@@ -121,6 +121,13 @@ class XtreeAligner:
             build_lbins(db.h_strings[0]) if db.h_strings[0] else [],
             build_lbins(db.h_strings[1]) if db.h_strings[1] else [],
         )
+        self._dev_step = None
+        if use_device:
+            from utree_tpu.xtree.device import (build_xtree_device_index,
+                                                make_device_step)
+
+            self._dev_index = build_xtree_device_index(db, self.sfx, self.bins)
+            self._dev_step = make_device_step(self._dev_index)
 
     # ---- k-mer matching (vectorized; both strands at every valid window) ----
 
@@ -271,6 +278,38 @@ class XtreeAligner:
         qid_all = np.repeat(qid_x, 2)
         hit = seed_all >= 0
         return qid_all[hit], pre_all[hit], seed_all[hit]
+
+    def _batch_hits_device(self, seqs: list[bytes]):
+        """Device front end: identical (qid, prefix, seed) hit arrays to
+        _batch_hits, computed by the jitted displaced-hash step.  Batch rows
+        pad to the chunk size and lengths bucket to multiples of 64 so jit
+        shapes stay bounded."""
+        from utree_tpu.pipeline import _bucket_len64
+
+        Q = len(seqs)
+        k = self.k
+        maxlen = max(max((len(s) for s in seqs), default=k), k)
+        lmax = _bucket_len64(maxlen)
+        b = self.chunk_queries if Q <= self.chunk_queries else Q
+        reads = np.zeros((b, lmax), np.uint8)
+        lens = np.zeros(b, np.int32)
+        for i, s in enumerate(seqs):
+            reads[i, : len(s)] = np.frombuffer(s, np.uint8)
+            lens[i] = len(s)
+        sf, sr, pf, pr = self._dev_step(self.tables, reads, lens)
+        sf, sr = np.asarray(sf)[:Q], np.asarray(sr)[:Q]
+        pf, pr = np.asarray(pf)[:Q], np.asarray(pr)[:Q]
+        w = sf.shape[1]
+        # scan order: position ascending, forward before RC (xtree.c:1024-1081)
+        seed2 = np.stack([sf, sr], axis=2).reshape(Q, 2 * w)
+        pre2 = np.stack([pf, pr], axis=2).reshape(Q, 2 * w)
+        qid_all, col = np.nonzero(seed2 >= 0)
+        return (qid_all.astype(np.int64), pre2[qid_all, col].astype(np.int64),
+                seed2[qid_all, col].astype(np.int64))
+
+    @property
+    def tables(self):
+        return self._dev_index.tables
 
     def _expand(self, seeds: np.ndarray, pres: np.ndarray):
         """CSR expansion of equal-suffix runs: per seed entry s probed in
@@ -491,7 +530,9 @@ class XtreeAligner:
         Q = len(seqs)
         nuh = self.n_uniq_h
         conf = opts.confidence
-        qid_h, pres_h, seeds_h = self._batch_hits(seqs)
+        qid_h, pres_h, seeds_h = (
+            self._batch_hits_device(seqs) if self._dev_step is not None
+            else self._batch_hits(seqs))
         tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
         mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
         matched = (tix > 0) & (mix != -1) & (mx >= opts.n_uniq_matches)
