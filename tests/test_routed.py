@@ -70,6 +70,50 @@ def test_routed_identical_2x4_no_rc(toy):
     assert np.array_equal(out[:, :-1], ref)
 
 
+def test_routed_wide_labels_identical():
+    """IXTYPE=u32 (>64K labels) canonical tables shard + route too: the
+    payload/reply just grows one value lane (BASELINE configs 4x5)."""
+    rng = np.random.default_rng(31)
+    words = np.unique(rng.integers(0, 1 << 64, size=60_000, dtype=np.uint64))
+    nlab = 70_000
+    ixs = rng.integers(0, nlab, size=len(words)).astype(np.int64)
+    cfg = UTreeConfig(ixtype_bytes=4)
+    idx = DeviceIndexArrays.from_build(
+        words, ixs, [b"l%d" % i for i in range(nlab)], cfg)
+    canon = build_canonical_hash_index(idx)
+    assert canon.t1.shape[1] == canon.slots * 4  # actually wide
+
+    # reads with a stored word spliced in so routed probes really hit
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(64, 150)).astype(np.uint8)
+    dec = np.frombuffer(b"ACGT", np.uint8)
+    picks = rng.choice(words, size=64)
+    shifts = 2 * (31 - np.arange(32))
+    bases = ((picks[:, None] >> shifts[None, :].astype(np.uint64)) & np.uint64(3)).astype(np.int64)
+    reads[:, 10:42] = dec[bases]
+    lens = np.full(64, 150, np.int32)
+    lmax = (150 + 63) & ~63
+    mat = np.zeros((64, lmax), np.uint8)
+    mat[:, :150] = reads
+    packed, vbits, lens = pack_reads_host(mat, lens)
+
+    ref = _single(cfg, idx, canon, packed, vbits, lens, True, 8)
+    mesh = make_mesh(data=1, table=8)
+    sharded = ShardedCanonicalIndex.from_canonical(canon, 8)
+    assert sharded.wide
+    step = routed_canonical_search_step(
+        mesh, sharded, do_rc=True, num_labels=idx.num_labels, cap=8,
+        bad_ix=cfg.bad_ix)
+    out = np.asarray(step(sharded.device_put(mesh), packed, vbits, lens))
+    assert (out[:, -1] == 0).all()
+    assert np.array_equal(out[:, :-1], ref)
+
+    fb = routed_fallback_step(
+        mesh, sharded, do_rc=True, num_labels=idx.num_labels, cap=8,
+        bad_ix=cfg.bad_ix)
+    got = np.asarray(fb(sharded.device_put(mesh), packed, vbits, lens))
+    assert np.array_equal(got, ref)
+
+
 def test_routed_overflow_flag_and_fallback(toy):
     """A tiny capacity factor forces overflow; the flag must fire and the
     fallback must produce the exact single-chip result."""

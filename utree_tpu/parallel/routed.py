@@ -47,9 +47,11 @@ from utree_tpu.lookup import (
     canonical_buckets,
     canonical_keys,
     decode_canonical_vals,
+    decode_canonical_wide,
     extract_windows,
     pack_hist,
     probe_rows,
+    probe_rows_wide,
 )
 
 
@@ -58,21 +60,19 @@ class ShardedCanonicalIndex:
     """Canonical hash table split for the routed mode: t1 stacked on a
     leading shard axis (bucket-range partition), t2 whole (replicated)."""
 
-    t1: np.ndarray  # int32 (S, b1/S, slots*3)
-    t2: np.ndarray  # int32 (b2, slots2*3)
-    t3: np.ndarray  # int32 (b3, slots3*3); 8-row sentinel = absent
+    t1: np.ndarray  # int32 (S, b1/S, slots*cps)
+    t2: np.ndarray  # int32 (b2, slots2*cps)
+    t3: np.ndarray  # int32 (b3, slots3*cps); 8-row sentinel = absent
     num_shards: int
     b1: int  # global t1 bucket count
     slots: int
     slots2: int
     slots3: int
+    wide: bool = False  # IXTYPE=u32 layout: 4-col slots, (va, vb) value pair
 
     @classmethod
     def from_canonical(cls, c: CanonicalHashArrays, num_shards: int) -> "ShardedCanonicalIndex":
-        if c.t1.shape[1] != c.slots * 3:
-            raise NotImplementedError(
-                "routed mode implements narrow (u16-label) canonical tables; "
-                "wide (IXTYPE=u32) tables run single-chip or DP-replicated")
+        wide = c.t1.shape[1] == c.slots * 4
         b1 = c.t1.shape[0]
         if b1 % num_shards:
             raise ValueError("num_shards must divide the t1 bucket count")
@@ -80,7 +80,7 @@ class ShardedCanonicalIndex:
         return cls(
             t1=np.ascontiguousarray(c.t1.reshape(num_shards, per, c.t1.shape[1])),
             t2=c.t2, t3=c.t3, num_shards=num_shards, b1=b1,
-            slots=c.slots, slots2=c.slots2, slots3=c.slots3,
+            slots=c.slots, slots2=c.slots2, slots3=c.slots3, wide=wide,
         )
 
     def device_put(self, mesh: Mesh, axis: str = "table"):
@@ -101,13 +101,30 @@ def _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid, slots2, slots3):
     return val
 
 
+def _tail_probe_wide(va, vb, t2, t3, bkt2, key_lo, key_hi, valid, slots2, slots3):
+    """Wide-entry twin of _tail_probe: a miss is both orientation lanes 0."""
+    if t2.shape[0] > 8:
+        va2, vb2 = probe_rows_wide(t2[bkt2], key_lo, key_hi, slots2)
+        miss = (va | vb) == 0
+        va = jnp.where(miss, va2, va)
+        vb = jnp.where(miss, vb2, vb)
+    if t3.shape[0] > 8:
+        bkt3 = canonical_bucket3(key_lo, key_hi, valid, t3.shape[0])
+        va3, vb3 = probe_rows_wide(t3[bkt3], key_lo, key_hi, slots3)
+        miss = (va | vb) == 0
+        va = jnp.where(miss, va3, va)
+        vb = jnp.where(miss, vb3, vb)
+    return va, vb
+
+
 def _routed_probe_t1(t1_local, bkt1, valid, key_lo, key_hi, *, axis: str,
                      num_shards: int, per_shard: int, slots: int,
-                     capacity: int):
+                     capacity: int, wide: bool = False):
     """Route (bucket, keys) to owners over `axis`, probe, route values back.
 
     All inputs are flattened (P,) position lanes on the local data shard.
-    Returns (val (P,) int32, overflow bool scalar)."""
+    Returns (val (P,) int32 [narrow] or (va, vb) pair [wide], overflow bool
+    scalar) — the reply lanes just widen by one for IXTYPE=u32 entries."""
     owner = bkt1 // per_shard  # bucket ranges are contiguous row blocks
     local_bkt = bkt1 - owner * per_shard
 
@@ -133,10 +150,18 @@ def _routed_probe_t1(t1_local, bkt1, valid, key_lo, key_hi, *, axis: str,
 
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
     rows = t1_local[recv[:, :, 0]]
-    vals = probe_rows(rows, recv[:, :, 1], recv[:, :, 2], slots)
-    reply = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0, tiled=False)
     o = jnp.where(routable, owner, 0)
     rr = jnp.where(routable, rank, 0)
+    if wide:
+        va, vb = probe_rows_wide(rows, recv[:, :, 1], recv[:, :, 2], slots)
+        vals = jnp.stack([va, vb], axis=-1)
+        reply = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0,
+                                   tiled=False)
+        got = reply[o, rr]
+        return (jnp.where(routable, got[..., 0], 0),
+                jnp.where(routable, got[..., 1], 0)), overflow
+    vals = probe_rows(rows, recv[:, :, 1], recv[:, :, 2], slots)
+    reply = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0, tiled=False)
     val = jnp.where(routable, reply[o, rr], 0)
     return val, overflow
 
@@ -170,12 +195,19 @@ def routed_canonical_search_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
                 t1_local[0], bkt1.reshape(p), valid.reshape(p),
                 key_lo.reshape(p), key_hi.reshape(p),
                 axis=axis, num_shards=S, per_shard=per_shard, slots=slots,
-                capacity=c,
+                capacity=c, wide=sharded.wide,
             )
-            val = val.reshape(b_loc, w)
-            val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
-                              slots2, sharded.slots3)
-            r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
+            if sharded.wide:
+                va = val[0].reshape(b_loc, w)
+                vb = val[1].reshape(b_loc, w)
+                va, vb = _tail_probe_wide(va, vb, t2, t3, bkt2, key_lo, key_hi,
+                                          valid, slots2, sharded.slots3)
+                r = decode_canonical_wide(va, vb, valid, fwd_le, bad_ix, do_rc)
+            else:
+                val = val.reshape(b_loc, w)
+                val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
+                                  slots2, sharded.slots3)
+                r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
             ix = jnp.concatenate(r, axis=1) if do_rc else r
             out = pack_hist(ix, num_labels, cap)
             # overflow is identical on every chip after this psum
@@ -218,12 +250,21 @@ def routed_fallback_step(mesh: Mesh, sharded: ShardedCanonicalIndex, *,
             owner = bkt1 // per_shard
             mine = owner == my
             local = jnp.where(mine, bkt1 - my * per_shard, 0)
-            v = probe_rows(t1_local[0][local], key_lo, key_hi, slots)
-            v = jnp.where(mine, v, 0)
-            val = jax.lax.psum(v, axis)
-            val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
-                              slots2, sharded.slots3)
-            r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
+            rows = t1_local[0][local]
+            if sharded.wide:
+                va, vb = probe_rows_wide(rows, key_lo, key_hi, slots)
+                va = jax.lax.psum(jnp.where(mine, va, 0), axis)
+                vb = jax.lax.psum(jnp.where(mine, vb, 0), axis)
+                va, vb = _tail_probe_wide(va, vb, t2, t3, bkt2, key_lo, key_hi,
+                                          valid, slots2, sharded.slots3)
+                r = decode_canonical_wide(va, vb, valid, fwd_le, bad_ix, do_rc)
+            else:
+                v = probe_rows(rows, key_lo, key_hi, slots)
+                v = jnp.where(mine, v, 0)
+                val = jax.lax.psum(v, axis)
+                val = _tail_probe(val, t2, t3, bkt2, key_lo, key_hi, valid,
+                                  slots2, sharded.slots3)
+                r = decode_canonical_vals(val, valid, fwd_le, bad_ix, do_rc)
             ix = jnp.concatenate(r, axis=1) if do_rc else r
             return pack_hist(ix, num_labels, cap)
 
