@@ -70,3 +70,35 @@ def test_shallow_fast_matches_literal_all_sparsities(toy, tmp_path):
                 if sparsity > 1 and len(a) > 1:
                     checked_corrupt += 1
     assert checked_corrupt > 50  # the corruption path was actually exercised
+
+
+def test_native_shallow_matches_literal(toy, tmp_path):
+    """native/shallow.cpp (the C word state machine, OpenMP batch) must equal
+    scan_shallow_literal hit-for-hit on every read, sparsity, and strand."""
+    import dataclasses
+
+    import pytest
+
+    from utree_tpu.encode import encode_bases, revcomp_text
+    from utree_tpu.io.fasta import iter_fasta_records
+    from utree_tpu.native import shallow_lib, shallow_scan_batch
+    from utree_tpu.search_host import scan_shallow_literal
+
+    if shallow_lib() is None:
+        pytest.skip("no native toolchain")
+    cfg = UTreeConfig()
+    res = build_database(toy["refs"], toy["map"], cfg, do_gg=False)
+    write_ubt(str(tmp_path / "n.ubt"), res.words, res.ixs, res.labels.strings, cfg)
+    write_ctr_from_ubt(str(tmp_path / "n.ubt"), str(tmp_path / "n.ctr"), cfg)
+    reads = [s for _, s in iter_fasta_records(toy["reads"])][:120]
+    reads += [r[:40] + b"N" + r[41:] for r in reads[:20]]
+    reads += [b"", b"ACGT", b"N" * 40]  # shorter than a window / all-invalid
+    for sparsity in (1, 2, 4, 8):
+        c2 = dataclasses.replace(cfg, sparsity=sparsity)
+        idx = HostIndex.from_ctr(str(tmp_path / "n.ctr"), c2)
+        for rc in (False, True):
+            ext = [encode_bases(r + b"N" + revcomp_text(r) if rc else r)
+                   for r in reads]
+            got = shallow_scan_batch(idx, ext)
+            want = [scan_shallow_literal(idx, r, rc) for r in reads]
+            assert got == want, (sparsity, rc)

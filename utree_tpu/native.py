@@ -66,6 +66,61 @@ def vote_lib():
     return lib
 
 
+_shallow_lib = None
+_shallow_tried = False
+
+
+def shallow_lib():
+    """libutreeshallow handle (the literal non-GG word state machine,
+    itree.c:903-951, at C speed), or None if unavailable."""
+    global _shallow_lib, _shallow_tried
+    if _shallow_tried:
+        return _shallow_lib
+    _shallow_tried = True
+    so = _compile("shallow.cpp", "libutreeshallow.so")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.utree_shallow_scan_batch.restype = None
+    lib.utree_shallow_scan_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.uint64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+    ]
+    _shallow_lib = lib
+    return lib
+
+
+def shallow_scan_batch(index, ext_codes: list[np.ndarray]) -> list[list[int]]:
+    """Batch scan_shallow over pre-extended encoded reads (seq [+N+rc]).
+    `index` is a search_host.HostIndex with packsize <= 32 (s_hi all zero)."""
+    lib = shallow_lib()
+    cfg = index.config
+    n = len(ext_codes)
+    lens = np.array([len(c) for c in ext_codes], np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    codes = np.concatenate(ext_codes) if n else np.zeros(0, np.uint8)
+    wins = np.maximum(lens - (cfg.packsize - 1), 0)
+    hit_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(wins, out=hit_offsets[1:])
+    hits = np.zeros(max(1, int(hit_offsets[-1])), np.int64)
+    counts = np.zeros(max(1, n), np.int64)
+    lib.utree_shallow_scan_batch(
+        index.bin_ix, index.s_lo, index.ixs,
+        cfg.ctr_suffix_bits, cfg.suffix_mask, cfg.bad_ix,
+        cfg.packsize, cfg.sparsity, cfg.word_bits, index.num_labels,
+        codes, offsets, n, hits, hit_offsets, counts,
+    )
+    return [hits[hit_offsets[r] : hit_offsets[r] + counts[r]].tolist()
+            for r in range(n)]
+
+
 _fasta_lib = None
 _fasta_tried = False
 

@@ -217,14 +217,20 @@ def scan_shallow_literal(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]
 
 
 def scan_shallow_fast(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
-    """Exact scan_shallow_literal with the per-window Python bsearch removed.
+    """Exact scan_shallow_literal with the per-window Python work removed
+    from every no-hit span.
 
     All CLEAN window words are batch-looked-up once (lookup_words, the
-    vectorized XT_getIX32 replay); the word state machine then runs in cheap
-    Python ints, consuming the precomputed answer whenever its word equals
-    the clean word at that window and falling back to the scalar replay only
-    when the skip-after-hit over-shift (itree.c:920-924) has corrupted the
-    word — so the output is identical by construction on every path."""
+    vectorized XT_getIX32 replay).  From any provably-clean machine state —
+    the start, after a bad-char re-encode (z=0 forces a fresh word), or a
+    clean-word miss — every window the machine would visit up to the next
+    precomputed hit is a clean miss (no state to replay), so the scan jumps
+    straight to that hit with one binsearch.  Only the stretch AFTER a hit
+    runs the literal word state machine, because the skip-after-hit
+    over-shift (itree.c:920-924) corrupts the word there and corrupted
+    k-mers can themselves hit; the stretch ends at the first window whose
+    machine word equals the clean word and misses.  Output identical to the
+    literal replay by construction on every path."""
     from utree_tpu.encode import (INVALID, encode_bases, revcomp_text,
                                   search_window_words_positions)
 
@@ -234,6 +240,7 @@ def scan_shallow_fast(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
     step = cfg.packsize // cfg.sparsity - 1
     mask = (1 << cfg.word_bits) - 1
     words, positions = search_window_words_positions(seq, cfg.packsize, do_rc)
+    max_ix = index.num_labels
     if len(words):
         pre_ix = lookup_words(index, words)
         if words.dtype.names:  # W128 -> python ints matching the machine's w
@@ -242,20 +249,36 @@ def scan_shallow_fast(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
         else:
             wlist = words.tolist()  # python ints: fast == against w
         ilist = pre_ix.tolist()
+        hit_t = np.flatnonzero(pre_ix < max_ix)
+        hitpos = positions[hit_t]  # window starts of clean hits, ascending
     else:
         wlist, ilist = [], []
+        hit_t = hitpos = np.zeros(0, np.int64)
     ext = seq + b"N" + revcomp_text(seq) if do_rc else seq
     codes = encode_bases(ext)
     length = len(codes)
     pos_to_j = np.full(length + 1, -1, np.int64)
     if len(words):
         pos_to_j[positions] = np.arange(len(words))
-    max_ix = index.num_labels
     hits: list[int] = []
     w = 0
     i = kv
     z = -4
+    clean = True  # machine word provably equals the clean window word
     while i < length:
+        if clean:
+            # every valid window with start in [i-k1, next hit) is a clean
+            # miss and invalid spans re-encode fresh: jump to the next hit
+            t = int(np.searchsorted(hitpos, i - k1))
+            if t >= len(hitpos):
+                break
+            tj = int(hit_t[t])
+            hits.append(ilist[tj])
+            w = wlist[tj]  # machine word at the hit = its clean window word
+            z = int(hitpos[t]) + k1
+            i = z + step + 1
+            clean = False
+            continue
         if i < z + kv:
             w = (w << ((i - z - 1) << 1)) & mask
             j = z + 1
@@ -275,36 +298,71 @@ def scan_shallow_fast(index: HostIndex, seq: bytes, do_rc: bool) -> list[int]:
             j += 1
         if broke:
             i += 1
+            clean = True  # z=0: the next window re-encodes from scratch
             continue
         z = i
         pj = int(pos_to_j[i - k1])
         if pj >= 0 and wlist[pj] == w:
             ix = ilist[pj]
+            if ix < max_ix:
+                hits.append(ix)
+                i += step
+            else:
+                clean = True  # clean miss: back to the jump cadence
         else:  # over-shift-corrupted word: literal scalar replay
             ix = _lookup_one(index, w)
-        if ix < max_ix:
-            hits.append(ix)
-            i += step
+            if ix < max_ix:
+                hits.append(ix)
+                i += step
         i += 1
     return hits
 
 
 def search_file_shallow(
-    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False
+    index: HostIndex, reads_path: str, out_path: str, do_rc: bool = False,
+    chunk: int = 4096,
 ) -> int:
     """Rank-specific search (utree-search, doCollapse=0 path itree.c:969-1006):
-    SPARSITY-subsampled hits, majority vote with TOLERANCE/SLACK rejection."""
+    SPARSITY-subsampled hits, majority vote with TOLERANCE/SLACK rejection.
+
+    The scan runs in the native batch engine (native/shallow.cpp — the
+    literal word state machine at C speed, OpenMP across reads) when the lib
+    compiles and the word fits u64; otherwise scan_shallow_fast."""
     from utree_tpu.classify import ShallowVoter
+    from utree_tpu.encode import encode_bases, revcomp_text
+    from utree_tpu.native import shallow_lib, shallow_scan_batch
 
     cfg = index.config
+    use_native = (shallow_lib() is not None and cfg.word_bits <= 64
+                  and not index.s_hi.any())
     voter = ShallowVoter(index.strings, cfg.tolerance, cfg.slack)
     n = 0
+    pend_names: list[bytes] = []
+    pend_ext: list[np.ndarray] = []
+
     with open(out_path, "wb") as fo:
+        def flush():
+            for name, hits in zip(pend_names, shallow_scan_batch(index, pend_ext)):
+                line = voter.vote(name, hits)
+                if line is not None:
+                    fo.write(line + b"\n")
+            pend_names.clear()
+            pend_ext.clear()
+
         for header, seq in iter_fasta_records(reads_path):
             n += 1
             name = header.split(b" ")[0]
-            hits = scan_shallow_fast(index, seq, do_rc)
-            line = voter.vote(name, hits)
-            if line is not None:
-                fo.write(line + b"\n")
+            if use_native:
+                ext = seq + b"N" + revcomp_text(seq) if do_rc else seq
+                pend_names.append(name)
+                pend_ext.append(encode_bases(ext))
+                if len(pend_names) >= chunk:
+                    flush()
+            else:
+                hits = scan_shallow_fast(index, seq, do_rc)
+                line = voter.vote(name, hits)
+                if line is not None:
+                    fo.write(line + b"\n")
+        if pend_names:
+            flush()
     return n
