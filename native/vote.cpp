@@ -14,6 +14,8 @@
 #include <cstdio>
 #include <cstring>
 #include <algorithm>
+#include <string>
+#include <vector>
 
 namespace {
 
@@ -101,6 +103,34 @@ void aufbau_walk(TaxCnt* tc, uint32_t uix, uint32_t found_uniq, uint32_t taxacut
   *ol_out = ol;
 }
 
+constexpr int MAX_U = 4096;
+
+// Format one read's line from its (string, count) histogram entries (tc, in
+// device emission order — the fast paths depend on the FIRST entry).  Returns
+// bytes written, or -1 if fewer than 65536+256 bytes remain.
+int64_t emit_read(TaxCnt* tc, int64_t nu, const char* name, int32_t taxacut,
+                  char* out, char* out_end) {
+  if (out_end - out < 65536 + 256) return -1;
+  uint32_t found = 0;
+  for (int64_t i = 0; i < nu; ++i) found += tc[i].n;
+  if (found == 1)
+    return snprintf(out, out_end - out, "%s\t%s\t1\t1\t*\n", name, tc[0].s);
+  if (nu == 1)
+    return snprintf(out, out_end - out, "%s\t%s\t%u\t1\t*\n", name, tc[0].s, found);
+  std::sort(tc, tc + nu,
+            [](const TaxCnt& a, const TaxCnt& b) { return strcmp(a.s, b.s) < 0; });
+  const char* ps = "";
+  uint32_t plen = 0, sl = 0, ol = 0;
+  int pfull = 0;
+  aufbau_walk(tc, (uint32_t)nu, found, (uint32_t)taxacut, &ps, &plen, &pfull,
+              &sl, &ol);
+  if (pfull)
+    return snprintf(out, out_end - out, "%s\t%s\t%u\t%u\t%u;%u\n", name, ps,
+                    found, (uint32_t)nu, sl, ol);
+  return snprintf(out, out_end - out, "%s\t%.*s\t%u\t%u\t%u;%u\n", name,
+                  (int)plen, ps, found, (uint32_t)nu, sl, ol);
+}
+
 }  // namespace
 
 extern "C" {
@@ -122,7 +152,6 @@ int64_t utree_vote_batch(
     int32_t taxacut,
     char* out_buf,
     int64_t out_cap) {
-  constexpr int MAX_U = 4096;
   TaxCnt tc[MAX_U];
   char* out = out_buf;
   char* out_end = out_buf + out_cap;
@@ -132,40 +161,94 @@ int64_t utree_vote_batch(
     int64_t nu = hi - lo;
     if (nu == 0) continue;
     if (nu > MAX_U) return -2;
-    const char* name = name_pool + name_offsets[r];
-    uint32_t found = 0;
-    for (int64_t i = lo; i < hi; ++i) found += (uint32_t)counts[i];
-    if (out_end - out < 65536 + 256) return -1;
-
-    if (found == 1) {
-      out += snprintf(out, out_end - out, "%s\t%s\t1\t1\t*\n", name,
-                      string_pool + string_offsets[labels[lo]]);
-      continue;
-    }
-    if (nu == 1) {
-      out += snprintf(out, out_end - out, "%s\t%s\t%u\t1\t*\n", name,
-                      string_pool + string_offsets[labels[lo]], found);
-      continue;
-    }
     for (int64_t i = lo; i < hi; ++i) {
       tc[i - lo] = {string_pool + string_offsets[labels[i]], (uint32_t)counts[i]};
     }
-    std::sort(tc, tc + nu,
-              [](const TaxCnt& a, const TaxCnt& b) { return strcmp(a.s, b.s) < 0; });
-    const char* ps = "";
-    uint32_t plen = 0, sl = 0, ol = 0;
-    int pfull = 0;
-    aufbau_walk(tc, (uint32_t)nu, found, (uint32_t)taxacut, &ps, &plen, &pfull,
-                &sl, &ol);
-    if (pfull) {
-      out += snprintf(out, out_end - out, "%s\t%s\t%u\t%u\t%u;%u\n", name, ps,
-                      found, (uint32_t)nu, sl, ol);
-    } else {
-      out += snprintf(out, out_end - out, "%s\t%.*s\t%u\t%u\t%u;%u\n", name,
-                      (int)plen, ps, found, (uint32_t)nu, sl, ol);
-    }
+    int64_t w = emit_read(tc, nu, name_pool + name_offsets[r], taxacut, out, out_end);
+    if (w < 0) return -1;
+    out += w;
   }
   return out - out_buf;
+}
+
+// Vote straight off the device's packed histogram output: row r of `packed`
+// is cap u32 lanes of (count<<16 | label+1) followed by a tail lane
+// (found<<5 | nuniq) — the layout search_step_hist_packed emits
+// (utree_tpu/lookup.py).  This replaces the host-side unpack (4 full-matrix
+// ops) + boolean-mask CSR flatten with one streaming pass, OpenMP across
+// read chunks.  Rows whose nuniq exceeds cap must arrive as override CSR
+// entries (over_rows ascending) — the caller recomputes those exactly on
+// host (device cap overflow, same contract as the Python path).
+// Returns bytes written, -1 if out_cap is too small (caller grows + retries),
+// -2 on an override histogram wider than MAX_U, -3 on an unprovided overflow.
+int64_t utree_vote_packed(
+    int64_t n_reads,
+    const uint32_t* packed,
+    int64_t cap,
+    int64_t n_over,
+    const int64_t* over_rows,
+    const int64_t* over_offsets,
+    const int32_t* over_labels,
+    const int32_t* over_counts,
+    const char* string_pool,
+    const int64_t* string_offsets,
+    const char* name_pool,
+    const int64_t* name_offsets,
+    int32_t taxacut,
+    char* out_buf,
+    int64_t out_cap) {
+  const int64_t stride = cap + 1;
+  constexpr int64_t CHUNK = 8192;
+  const int64_t n_chunks = n_reads > 0 ? (n_reads + CHUNK - 1) / CHUNK : 0;
+  std::vector<std::string> parts((size_t)n_chunks);
+  int err = 0;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    TaxCnt tc[MAX_U];
+    char line[1 << 17];
+    std::string& part = parts[(size_t)c];
+    const int64_t lo_r = c * CHUNK;
+    const int64_t hi_r = std::min(n_reads, lo_r + CHUNK);
+    int64_t oi = 0;
+    while (oi < n_over && over_rows[oi] < lo_r) ++oi;
+    for (int64_t r = lo_r; r < hi_r; ++r) {
+      const uint32_t* row = packed + r * stride;
+      int64_t nu;
+      if (oi < n_over && over_rows[oi] == r) {
+        const int64_t a = over_offsets[oi], b = over_offsets[oi + 1];
+        ++oi;
+        nu = b - a;
+        if (nu > MAX_U) { err = 2; break; }
+        for (int64_t i = a; i < b; ++i)
+          tc[i - a] = {string_pool + string_offsets[over_labels[i]],
+                       (uint32_t)over_counts[i]};
+      } else {
+        nu = row[cap] & 31u;
+        if (nu == 0) continue;
+        if (nu > cap) { err = 3; break; }
+        for (int64_t i = 0; i < nu; ++i) {
+          const uint32_t lc = row[i];
+          tc[i] = {string_pool + string_offsets[(int64_t)(lc & 0xFFFFu) - 1],
+                   lc >> 16};
+        }
+      }
+      if (nu == 0) continue;
+      const int64_t w = emit_read(tc, nu, name_pool + name_offsets[r], taxacut,
+                                  line, line + sizeof line);
+      if (w < 0) { err = 2; break; }  // cannot happen: line >> max guard
+      part.append(line, (size_t)w);
+    }
+  }
+  if (err) return -err;
+  int64_t total = 0;
+  for (const auto& p : parts) total += (int64_t)p.size();
+  if (total > out_cap) return -1;
+  char* out = out_buf;
+  for (const auto& p : parts) {
+    memcpy(out, p.data(), p.size());
+    out += p.size();
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -21,21 +21,33 @@ def test_resume_produces_identical_output(toy, tmp_path):
         pass
 
     count = {"n": 0}
-    orig = pipe._unpack
+    orig_unpack = pipe._unpack
+    orig_packed = pipe._vote_packed
 
-    def bomb(handles):
+    def tick():
         if count["n"] >= 3:
             raise Stop()
         count["n"] += 1
-        return orig(handles)
 
-    pipe._unpack = bomb
+    def bomb_unpack(handles):
+        tick()
+        return orig_unpack(handles)
+
+    def bomb_packed(*a, **kw):
+        tick()
+        return orig_packed(*a, **kw)
+
+    # the drain goes through _vote_packed (packed-output DBs) or _unpack
+    # (everything else) — bomb both so either layout gets interrupted
+    pipe._unpack = bomb_unpack
+    pipe._vote_packed = bomb_packed
     try:
         pipe.search_file(toy["reads"], str(part))
         raise AssertionError("should have been interrupted")
     except Stop:
         pass
-    pipe._unpack = orig
+    pipe._unpack = orig_unpack
+    pipe._vote_packed = orig_packed
     assert (tmp_path / "part.txt.ckpt").exists()
     partial_size = part.stat().st_size
     assert 0 < partial_size < full.stat().st_size
@@ -63,21 +75,31 @@ def test_resume_with_record_range(toy, tmp_path):
         pass
 
     count = {"n": 0}
-    orig = pipe._unpack
+    orig_unpack = pipe._unpack
+    orig_packed = pipe._vote_packed
 
-    def bomb(handles):
+    def tick():
         if count["n"] >= 1:
             raise Stop()
         count["n"] += 1
-        return orig(handles)
 
-    pipe._unpack = bomb
+    def bomb_unpack(handles):
+        tick()
+        return orig_unpack(handles)
+
+    def bomb_packed(*a, **kw):
+        tick()
+        return orig_packed(*a, **kw)
+
+    pipe._unpack = bomb_unpack
+    pipe._vote_packed = bomb_packed
     try:
         pipe.search_file(toy["reads"], str(part), record_range=(lo, hi))
         raise AssertionError("should have been interrupted")
     except Stop:
         pass
-    pipe._unpack = orig
+    pipe._unpack = orig_unpack
+    pipe._vote_packed = orig_packed
     assert (tmp_path / "range_part.txt.ckpt").exists()
 
     n = pipe.search_file(toy["reads"], str(part), resume=True,

@@ -62,6 +62,16 @@ def vote_lib():
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.utree_vote_packed.restype = ctypes.c_int64
+    lib.utree_vote_packed.argtypes = [
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64,
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+    ]
     _vote_lib = lib
     return lib
 
@@ -287,4 +297,42 @@ class VoteEngine:
                 continue
             if wrote < 0:
                 raise RuntimeError(f"utree_vote_batch error {wrote}")
+            return out.raw[:wrote]
+
+    def vote_packed(
+        self,
+        n: int,
+        name_pool: bytes,
+        name_offsets: np.ndarray,
+        packed: np.ndarray,
+        cap_cols: int,
+        over_rows: np.ndarray,
+        over_offsets: np.ndarray,
+        over_labels: np.ndarray,
+        over_counts: np.ndarray,
+    ) -> bytes:
+        """Vote straight off the device's packed (count<<16|label+1, tail)
+        u32 matrix — unpack + CSR flatten + vote + formatting all in C++.
+        Rows whose nuniq exceeds cap_cols must be listed (ascending) in the
+        override CSR (host-exact recompute, the cap-overflow contract)."""
+        packed = np.ascontiguousarray(packed, np.uint32)
+        cap = 1 << 20
+        while True:
+            out = ctypes.create_string_buffer(cap)
+            wrote = self.lib.utree_vote_packed(
+                n, packed, cap_cols,
+                len(over_rows),
+                np.ascontiguousarray(over_rows, np.int64),
+                np.ascontiguousarray(over_offsets, np.int64),
+                np.ascontiguousarray(over_labels, np.int32),
+                np.ascontiguousarray(over_counts, np.int32),
+                self.string_pool, self.string_offsets,
+                name_pool, np.ascontiguousarray(name_offsets, np.int64),
+                self.taxacut, out, cap,
+            )
+            if wrote == -1:
+                cap *= 4
+                continue
+            if wrote < 0:
+                raise RuntimeError(f"utree_vote_packed error {wrote}")
             return out.raw[:wrote]

@@ -389,6 +389,16 @@ class SearchPipeline:
             return b"".join(
                 ln + b"\n" for ln in self.finalize(names, seqs, handles) if ln is not None
             )
+        if self._packed_out:
+            n = len(names)
+            name_offsets = np.zeros(n, np.int64)
+            off = 0
+            for i, nm in enumerate(names):
+                name_offsets[i] = off
+                off += len(nm) + 1
+            name_pool = b"\x00".join(names) + b"\x00" if names else b"\x00"
+            return self._vote_packed(n, name_pool, name_offsets, handles,
+                                     lambda i: seqs[i])
         labels, counts, nuniq, found = self._unpack(handles)
         b = len(names)
         nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
@@ -421,6 +431,32 @@ class SearchPipeline:
                     flat_l[lo:hi] = labels[i, : nu[i]]
                     flat_c[lo:hi] = counts[i, : nu[i]]
         return self._vote_engine.vote_batch(names, offsets, flat_l, flat_c)
+
+    def _vote_packed(self, count, name_pool, name_offsets, handles, seq_of) -> bytes:
+        """Drain one batch through utree_vote_packed: the raw packed device
+        matrix goes straight to C++ (unpack + CSR flatten + vote + formatting
+        in one OpenMP pass) instead of 4 full-matrix NumPy ops + a boolean-
+        mask flatten.  Cap-overflow rows are recomputed exactly on host and
+        passed as an override CSR (same contract as the NumPy path)."""
+        arr = np.asarray(handles)
+        u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
+        cap = self.hist_cap
+        nuniq = u[:count, cap] & 31
+        over = np.flatnonzero(nuniq > cap).astype(np.int64)
+        over_offsets = np.zeros(len(over) + 1, np.int64)
+        ols, ocs = [], []
+        for j, i in enumerate(over):
+            hits = self._host_hits(seq_of(int(i)))
+            cnt = np.bincount(hits)
+            nz = np.flatnonzero(cnt)
+            ols.append(nz.astype(np.int32))
+            ocs.append(cnt[nz].astype(np.int32))
+            over_offsets[j + 1] = over_offsets[j] + len(nz)
+        over_labels = np.concatenate(ols) if ols else np.zeros(0, np.int32)
+        over_counts = np.concatenate(ocs) if ocs else np.zeros(0, np.int32)
+        return self._vote_engine.vote_packed(
+            count, name_pool, name_offsets, u[:count], cap,
+            over, over_offsets, over_labels, over_counts)
 
     # ---- long reads (up to 16Mb, itree.c:836) --------------------------------
     # threshold keeps short-path window counts < 2^16 (u16 output packing)
@@ -659,6 +695,9 @@ class SearchPipeline:
                 raise IndexError(i)
 
             def finalize_native(spans, count, h, name_pool, name_offsets):
+                if self._packed_out:
+                    return self._vote_packed(count, name_pool, name_offsets, h,
+                                             lambda i: row_seq(spans, i))
                 labels, counts, nuniq, found = self._unpack(h)
                 labels, counts, nuniq = labels[:count], counts[:count], nuniq[:count]
                 nu = np.minimum(nuniq, self.hist_cap).astype(np.int64)
