@@ -548,31 +548,50 @@ def build_displaced_index(
                            load=load, spill_budget=spill_budget)
 
 
-def place_displaced(
-    key_lo, key_hi, vals, cpre, chi, clo, ng, *,
-    load: float = _DISP_LOAD,
-    spill_budget: int = _DISP_SPILL_BUDGET,
-) -> DisplacedHashArrays:
-    """Seed-choosing placement shared by the utree canonical entries and the
-    xtree (prefix, suffix) entries — anything with (lo32, hi32) key lanes."""
-    if ng == 0:
-        raise ValueError("empty index")
-    cps = 2 + vals.shape[1]
-    wide = vals.shape[1] == 2
-
-    # bucket = the SAME folded two-mix hash as the canonical t1 (probe twin:
-    # lookup.canonical_buckets); nseed pow2 with lambda in (2, 4]
-    nseed = max(4, 1 << int(np.ceil(np.log2(max(1, ng / 4)))))
-    if nseed > (1 << 26):
-        raise ValueError("seed table would exceed the measured-free 64MB")
+def displaced_buckets_np(cpre, chi, clo, nseed: int) -> np.ndarray:
+    """Seed-bucket of each key: the SAME folded two-mix hash as the canonical
+    t1 (probe twin: lookup.displaced_probe_raw)."""
     h1 = _mix_np(cpre, chi, clo)
     hb = _mix_np(cpre, chi, clo ^ np.int64(0x6A09E667))
     g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
-    bucket = (g & np.uint32(nseed - 1)).astype(np.int64)
+    return (g & np.uint32(nseed - 1)).astype(np.int64)
 
-    nslots = int(ng / load) & ~1  # even: row = slot >> 1
-    nslots = max(nslots, 64)
-    if nslots // 2 * (2 * cps) * 4 > _CANON_T1_CAP:
+
+def displaced_nseed(ng: int) -> int:
+    """Seed-table size for ng entries: pow2 with lambda in (2, 4]."""
+    return max(4, 1 << int(np.ceil(np.log2(max(1, ng / 4)))))
+
+
+def place_displaced_core(
+    key_lo, key_hi, vals, cpre, chi, clo, ng, *,
+    load: float = _DISP_LOAD,
+    spill_budget: int = _DISP_SPILL_BUDGET,
+    bucket: np.ndarray | None = None,
+    nseed: int | None = None,
+    t1_cap: int = _CANON_T1_CAP,
+    nslots_force: int | None = None,
+):
+    """Seed-choosing placement shared by the utree canonical entries and the
+    xtree (prefix, suffix) entries — anything with (lo32, hi32) key lanes.
+
+    bucket/nseed may be precomputed (the routed sharder passes shard-LOCAL
+    buckets with the shard's seed-table slice size); nslots_force pins the
+    slot count so per-shard t1 arrays can stack on a mesh axis.  Returns
+    (t1, seeds32, spilled_idx) — the caller builds the spill tail (local
+    per table, or a merged global one for the routed mode)."""
+    if ng == 0:
+        raise ValueError("empty index")
+    cps = 2 + vals.shape[1]
+
+    if nseed is None:
+        nseed = displaced_nseed(ng)
+        if nseed > (1 << 26):
+            raise ValueError("seed table would exceed the measured-free 64MB")
+    if bucket is None:
+        bucket = displaced_buckets_np(cpre, chi, clo, nseed)
+
+    nslots = nslots_force or max(int(ng / load) & ~1, 64)  # even: row = slot>>1
+    if nslots // 2 * (2 * cps) * 4 > t1_cap:
         raise ValueError("displaced t1 would exceed the HBM budget")
     u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
 
@@ -726,24 +745,46 @@ def place_displaced(
     for v in range(vals.shape[1]):
         t1[rows, cols * cps + 2 + v] = vals[src, v]
 
-    slots3 = 16
-    t3 = np.zeros((8, slots3 * cps), np.int32)
-    if len(spilled):
-        h3 = _mix_np(cpre[spilled], chi[spilled], clo[spilled] ^ np.int64(0x27D4EB2F))
-        b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (slots3 // 2))))))
-        while True:
-            order3, sb3, pos3 = _group_pos(h3, b3)
-            if len(pos3) == 0 or int(pos3.max()) < slots3:
-                break
-            b3 *= 2
-            if b3 * slots3 * cps * 4 > _T3_BYTE_CAP:
-                raise ValueError("displaced spill tail overflow")
-        t3 = np.zeros((b3, slots3 * cps), np.int32)
-        _fill(t3, sb3, pos3, spilled[order3], key_lo, key_hi, vals)
-
     # packed-u8 seed words, little-endian nibble order matching the probe
     pad = (-len(seed_of)) % 4
     sw = np.concatenate([seed_of, np.zeros(pad, np.uint8)])
     seeds32 = sw.view("<u4").view(np.int32)
-    return DisplacedHashArrays(t1=t1, seeds=seeds32, t3=t3, slots3=slots3,
-                               num_entries=ng, wide=wide)
+    return t1, seeds32, spilled
+
+
+def build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo,
+                   slots3: int = 16) -> np.ndarray:
+    """Cached spill-tail table for the entries the placement could not seat
+    (8-row all-zero = absent; probe twin: lookup.displaced_probe_raw)."""
+    cps = 2 + vals.shape[1]
+    if not len(spilled):
+        return np.zeros((8, slots3 * cps), np.int32)
+    h3 = _mix_np(cpre[spilled], chi[spilled], clo[spilled] ^ np.int64(0x27D4EB2F))
+    b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (slots3 // 2))))))
+    while True:
+        order3, sb3, pos3 = _group_pos(h3, b3)
+        if len(pos3) == 0 or int(pos3.max()) < slots3:
+            break
+        b3 *= 2
+        if b3 * slots3 * cps * 4 > _T3_BYTE_CAP:
+            raise ValueError("displaced spill tail overflow")
+    t3 = np.zeros((b3, slots3 * cps), np.int32)
+    _fill(t3, sb3, pos3, spilled[order3], key_lo, key_hi, vals)
+    return t3
+
+
+def place_displaced(
+    key_lo, key_hi, vals, cpre, chi, clo, ng, *,
+    load: float = _DISP_LOAD,
+    spill_budget: int = _DISP_SPILL_BUDGET,
+    bucket: np.ndarray | None = None,
+    nseed: int | None = None,
+    t1_cap: int = _CANON_T1_CAP,
+) -> DisplacedHashArrays:
+    """Single-table displaced index: core placement + local spill tail."""
+    t1, seeds32, spilled = place_displaced_core(
+        key_lo, key_hi, vals, cpre, chi, clo, ng, load=load,
+        spill_budget=spill_budget, bucket=bucket, nseed=nseed, t1_cap=t1_cap)
+    t3 = build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo)
+    return DisplacedHashArrays(t1=t1, seeds=seeds32, t3=t3, slots3=16,
+                               num_entries=ng, wide=vals.shape[1] == 2)

@@ -691,6 +691,39 @@ def lookup_kmers_displaced(tables: dict, qpre, qhi, qlo, valid, *,
     return decode_canonical_vals(r, valid, fwd_le, bad_ix, do_rc)
 
 
+def displaced_bucket_jnp(key_lo, key_hi, valid, nseed: int):
+    """Seed-bucket of each key lane: the folded two-mix hash (builder twin:
+    hash_index.displaced_buckets_np)."""
+    c_lo = key_lo.astype(jnp.uint32)
+    c_hi32 = key_hi.astype(jnp.uint32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
+    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
+    gfold = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
+    return jnp.where(valid, (gfold & jnp.uint32(nseed - 1)).astype(jnp.int32), 0)
+
+
+def displaced_seed_jnp(seeds, bkt):
+    """u8 seed of each bucket lane from the packed-int32 seed words."""
+    word = seeds[bkt >> 2]
+    return (
+        jax.lax.bitcast_convert_type(word, jnp.uint32)
+        >> ((bkt & 3) << 3).astype(jnp.uint32)
+    ) & jnp.uint32(0xFF)
+
+
+def displaced_slot_jnp(key_lo, key_hi, seed, valid, nslots: int):
+    """t1 slot of each (key, seed) lane (builder twin: _disp_slot_np)."""
+    c_lo = key_lo.astype(jnp.uint32)
+    c_hi32 = key_hi.astype(jnp.uint32)
+    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
+    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
+    u2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x94D049BB))
+    h = (u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
+    return jnp.where(valid, (h % jnp.uint32(nslots)).astype(jnp.int32), 0)
+
+
 def displaced_probe_raw(tables: dict, key_lo, key_hi, valid, *, wide: bool):
     """Core displaced probe on generic (lo32, hi32) key lanes: scalar seed
     gather -> one 2-slot row gather -> cached t3 tail.  Returns the raw
@@ -703,23 +736,9 @@ def displaced_probe_raw(tables: dict, key_lo, key_hi, valid, *, wide: bool):
     nslots = 2 * t1.shape[0]
     nseed = 4 * seeds.shape[0]
 
-    c_lo = key_lo.astype(jnp.uint32)
-    c_hi32 = key_hi.astype(jnp.uint32)
-    c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
-    c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
-    # bucket: same folded two-mix as the canonical t1 (builder twin)
-    h1 = _mix_jnp(c_pre, c_hi8, c_lo)
-    hb = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x6A09E667))
-    gfold = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
-    bkt = jnp.where(valid, (gfold & jnp.uint32(nseed - 1)).astype(jnp.int32), 0)
-    word = seeds[bkt >> 2]
-    seed = (
-        jax.lax.bitcast_convert_type(word, jnp.uint32)
-        >> ((bkt & 3) << 3).astype(jnp.uint32)
-    ) & jnp.uint32(0xFF)
-    u2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x94D049BB))
-    h = (u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
-    slot = jnp.where(valid, (h % jnp.uint32(nslots)).astype(jnp.int32), 0)
+    bkt = displaced_bucket_jnp(key_lo, key_hi, valid, nseed)
+    seed = displaced_seed_jnp(seeds, bkt)
+    slot = displaced_slot_jnp(key_lo, key_hi, seed, valid, nslots)
     rows = t1[slot >> 1]
     if wide:
         va, vb = probe_rows_wide(rows, key_lo, key_hi, 2)
