@@ -38,6 +38,7 @@ def main():
     #   BENCH_LEN_MIX=100,150,250   cycle read lengths (ragged batches)
     use_ctr = os.environ.get("BENCH_CTR", "0") == "1"
     use_gz = os.environ.get("BENCH_GZ", "0") == "1"
+    lookup_mode = os.environ.get("BENCH_LOOKUP", "auto")  # auto|canonical|displaced|hash|bsearch
     len_mix = [int(x) for x in os.environ.get("BENCH_LEN_MIX", "").split(",") if x]
 
     from utree_tpu.config import UTreeConfig
@@ -100,7 +101,8 @@ def main():
     from utree_tpu.utils.trace import PhaseTimer
 
     tracer = PhaseTimer(quiet=True)
-    pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer)
+    pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer,
+                          lookup_mode=lookup_mode)
     log(f"bench: table_kind={pipe.table_kind} (warm-jit regime measured; "
         "first-compile excluded by the warmup batch)")
 
