@@ -163,3 +163,51 @@ def test_pipeline_mesh_mode_bsearch_table(toy, tmp_path):
     SearchPipeline(index2, do_rc=False, batch_size=64, lookup_mode="bsearch",
                    devices=4).search_file(toy["reads"], str(out))
     assert out.read_bytes() == single.read_bytes()
+
+
+def test_pipeline_routed_mode_byte_identical(toy, tmp_path):
+    """The >HBM product driver: SearchPipeline(devices=8,
+    lookup_mode='routed') shards the displaced table across the mesh and its
+    search_file output must equal the single-device pipeline and the golden
+    oracle, long reads and cap overflows included."""
+    from utree_tpu.pipeline import SearchPipeline
+
+    index = _toy_index(toy)
+    single = tmp_path / "r_single.txt"
+    SearchPipeline(index, do_rc=True, batch_size=128).search_file(
+        toy["reads"], str(single))
+
+    index2 = _toy_index(toy)
+    out = tmp_path / "r_routed.txt"
+    pipe = SearchPipeline(index2, do_rc=True, batch_size=128, devices=8,
+                          lookup_mode="routed")
+    assert pipe.table_kind == "routed-displaced"
+    pipe.search_file(toy["reads"], str(out))
+    assert out.read_bytes() == single.read_bytes()
+    assert out.read_bytes() == toy["golden_rc"]["classifications"].read_bytes()
+
+
+def test_pipeline_routed_overflow_fallback(toy, tmp_path):
+    """A routed pipeline whose step capacity is forced tiny must flag every
+    batch and redispatch through the exact fallback — output unchanged."""
+    from utree_tpu.parallel.routed import routed_displaced_search_step
+    from utree_tpu.pipeline import SearchPipeline
+
+    index = _toy_index(toy)
+    single = tmp_path / "o_single.txt"
+    SearchPipeline(index, do_rc=True, batch_size=128).search_file(
+        toy["reads"], str(single))
+
+    index2 = _toy_index(toy)
+    pipe = SearchPipeline(index2, do_rc=True, batch_size=128, devices=8,
+                          lookup_mode="routed")
+    # rebuild the routed step with a capacity that must overflow
+    from utree_tpu.parallel.routed import ShardedDisplacedIndex
+
+    sharded = ShardedDisplacedIndex.build(index2, 8)
+    pipe._step_routed = routed_displaced_search_step(
+        pipe._mesh, sharded, do_rc=True, num_labels=index2.num_labels,
+        cap=pipe.hist_cap, bad_ix=index2.config.bad_ix, capacity=8)
+    out = tmp_path / "o_routed.txt"
+    pipe.search_file(toy["reads"], str(out))
+    assert out.read_bytes() == single.read_bytes()

@@ -187,8 +187,9 @@ def main(argv=None):
                         "chips' HBM and shard read batches over them "
                         "(output bytes identical at any N)")
     s.add_argument("--lookup-mode", dest="lookup_mode", default="auto",
-                   choices=("auto", "canonical", "displaced", "hash", "bsearch"),
-                   help="device table layout (auto picks by DB size)")
+                   choices=("auto", "canonical", "displaced", "routed", "hash", "bsearch"),
+                   help="device table layout (auto picks by DB size; routed = "
+                        "table sharded across --devices N chips for >HBM DBs)")
     s.add_argument("--resume", action="store_true",
                    help="resume an interrupted search from its .ckpt sidecar")
     s.add_argument("--num-hosts", dest="num_hosts", type=int, default=0,

@@ -63,7 +63,7 @@ class SearchPipeline:
     # cheaper on-chip, and reads with >8 unique labels (rare: a read hits ~1-2
     # genomes) are recomputed exactly on host via the overflow path
     hist_cap: int = 8
-    lookup_mode: str = "auto"  # auto|canonical|displaced|hash|bsearch
+    lookup_mode: str = "auto"  # auto|canonical|displaced|routed|hash|bsearch
     support_ranges: int = 1  # 8 = README-documented per-rank pairs (host vote)
     # devices > 1: single-host multi-chip DP — the table is replicated into
     # every chip's HBM and read batches shard over a `data` mesh axis (the
@@ -83,6 +83,20 @@ class SearchPipeline:
         cfg = self.index.config
         self._mesh = None
         self._repl = self._data = None
+        self._routed = self.lookup_mode == "routed"
+        if self._routed:
+            # table SHARDED over the chips (the >HBM regime: the reference's
+            # ~1.2G-record CTR in one node's RAM, itree.c:733-828) instead of
+            # replicated into each
+            if not (self.devices and self.devices > 1):
+                raise ValueError("--lookup-mode routed requires --devices N > 1")
+            if cfg.packsize != 32:
+                raise ValueError("routed mode implements PACKSIZE=32")
+            if self.index.num_labels >= 0xFFFF:
+                raise ValueError(
+                    "routed pipeline mode packs label ids into u16 lanes; "
+                    "IXTYPE=u32 DBs with >= 65534 labels need the replicated "
+                    "table (devices mode without --lookup-mode routed)")
         if self.devices and self.devices > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -93,9 +107,43 @@ class SearchPipeline:
                     f"{len(devs)} present")
             if self.batch_size % self.devices:
                 raise ValueError("batch_size must be divisible by devices")
-            self._mesh = Mesh(np.array(devs[: self.devices]), ("data",))
+            if self._routed:
+                self._mesh = Mesh(
+                    np.array(devs[: self.devices]).reshape(1, self.devices),
+                    ("data", "table"))
+            else:
+                self._mesh = Mesh(np.array(devs[: self.devices]), ("data",))
             self._repl = NamedSharding(self._mesh, P())
             self._data = NamedSharding(self._mesh, P("data"))
+        if self._routed:
+            from utree_tpu.parallel.routed import (
+                ShardedDisplacedIndex,
+                routed_displaced_fallback_step,
+                routed_displaced_search_step,
+            )
+
+            sharded = ShardedDisplacedIndex.build(self.index, self.devices)
+            self._table = sharded.device_put(self._mesh)
+            kw = dict(do_rc=self.do_rc, num_labels=self.index.num_labels,
+                      cap=self.hist_cap, bad_ix=cfg.bad_ix)
+            self._step_routed = routed_displaced_search_step(
+                self._mesh, sharded, **kw)
+            self._fallback_step = routed_displaced_fallback_step(
+                self._mesh, sharded, **kw)
+            # FIFO of in-flight (packed, vbits, lens): consumed by _to_host in
+            # dispatch order so a flagged capacity overflow can redispatch the
+            # batch through the exact broadcast fallback
+            self._routed_inflight = []
+            self._packed = True
+            self._packed_out = True
+            self._vote_engine = None
+            if self.use_native_vote and self.support_ranges == 1:
+                from utree_tpu.native import VoteEngine
+
+                eng = VoteEngine(self.index.strings, cfg.taxacut)
+                if eng.available:
+                    self._vote_engine = eng
+            return
         if self._table is None:
             # the canonical ladder was MEASURED to hold through 250M entries
             # at undiminished speed (NOTES.md tier table); beyond this the
@@ -236,6 +284,8 @@ class SearchPipeline:
             return "canonical"
         if "c64_1" in t:
             return "canonical64"
+        if "ds" in t:
+            return "routed-displaced"
         if "t1" in t:
             return "hash"
         return "bsearch"
@@ -295,6 +345,10 @@ class SearchPipeline:
         tl = int(lens.max()) if len(lens) else k
         tl = min(max(k, (tl + 7) & ~7), packed.shape[1] * 4)
         packed, vbits, lens = self._pad_rows(packed, vbits, lens)
+        if self._routed:
+            h = self._step_routed(self._table, packed, vbits, lens)
+            self._routed_inflight.append((packed, vbits, lens))
+            return h
         if self._mesh is not None:
             # jit's in_shardings place the host arrays directly
             return self._step(self._table, packed, vbits, lens, true_len=tl)
@@ -342,8 +396,22 @@ class SearchPipeline:
 
     # ---- vote + format -----------------------------------------------------
 
-    def _unpack(self, handles):
+    def _to_host(self, handles):
+        """Pull one batch's histograms to host.  In routed mode this also
+        consumes the in-flight FIFO entry and, when the step flagged a
+        capacity overflow (last column, identical across rows), redispatches
+        the batch through the exact broadcast fallback."""
         arr = np.asarray(handles)
+        if self._routed:
+            inputs = self._routed_inflight.pop(0)
+            if arr.shape[0] and arr[0, -1]:
+                arr = np.asarray(self._fallback_step(self._table, *inputs))
+            else:
+                arr = arr[:, :-1]
+        return arr
+
+    def _unpack(self, handles):
+        arr = self._to_host(handles)
         cap = self.hist_cap
         if self._packed_out:
             u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
@@ -438,7 +506,7 @@ class SearchPipeline:
         in one OpenMP pass) instead of 4 full-matrix NumPy ops + a boolean-
         mask flatten.  Cap-overflow rows are recomputed exactly on host and
         passed as an override CSR (same contract as the NumPy path)."""
-        arr = np.asarray(handles)
+        arr = self._to_host(handles)
         u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
         cap = self.hist_cap
         nuniq = u[:count, cap] & 31
