@@ -100,9 +100,36 @@ def main():
 
     from utree_tpu.utils.trace import PhaseTimer
 
+    # optional host-table cache: the 150M displaced placement costs ~30 min of
+    # host CPU; retries (e.g. after a device tunnel hiccup) reload in seconds
+    table = None
+    cache_dir = os.environ.get("BENCH_TABLE_CACHE")
+    if (cache_dir and num_kmers >= 80_000_000
+            and lookup_mode in ("auto", "displaced")):
+        import pathlib
+
+        from utree_tpu.hash_index import (DisplacedHashArrays,
+                                          build_displaced_index)
+
+        f = pathlib.Path(cache_dir) / f"disp_{num_kmers}_{num_labels}.npz"
+        if f.exists():
+            z = np.load(f)
+            disp = DisplacedHashArrays(
+                t1=z["t1"], seeds=z["seeds"], t3=z["t3"],
+                slots3=int(z["slots3"]), num_entries=int(z["ne"]),
+                wide=bool(z["wide"]))
+            log(f"bench: displaced table loaded from {f}")
+        else:
+            disp = build_displaced_index(index)
+            pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            np.savez(f, t1=disp.t1, seeds=disp.seeds, t3=disp.t3,
+                     slots3=disp.slots3, ne=disp.num_entries, wide=disp.wide)
+            log(f"bench: displaced table built + cached to {f}")
+        table = disp.device_put()
+
     tracer = PhaseTimer(quiet=True)
     pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer,
-                          lookup_mode=lookup_mode)
+                          lookup_mode=lookup_mode, _table=table)
     log(f"bench: table_kind={pipe.table_kind} (warm-jit regime measured; "
         "first-compile excluded by the warmup batch)")
 
