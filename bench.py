@@ -103,7 +103,7 @@ def main():
     # optional host-table cache: the 150M displaced placement costs ~30 min of
     # host CPU; retries (e.g. after a device tunnel hiccup) reload in seconds
     table = None
-    cache_dir = os.environ.get("BENCH_TABLE_CACHE")
+    cache_dir = os.environ.get("BENCH_TABLE_CACHE", ".bench_cache")
     if (cache_dir and num_kmers >= 80_000_000
             and lookup_mode in ("auto", "displaced")):
         import pathlib

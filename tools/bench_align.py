@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--reads", type=int, default=20_000)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--scalar", action="store_true", help="also time the scalar replay")
+    ap.add_argument("--device", action="store_true",
+                    help="use the TPU displaced-hash k-mer front end")
     a = ap.parse_args()
 
     from utree_tpu.testdata import make_toy_db, make_toy_reads
@@ -44,14 +46,20 @@ def main():
     print(f"build: {time.perf_counter() - t0:.2f}s ({db.num_kmers} kpods, "
           f"{db.num_refs} refs)")
 
-    al = XtreeAligner(db)
+    t0 = time.perf_counter()
+    al = XtreeAligner(db, use_device=a.device)
+    if a.device:
+        print(f"device index: {time.perf_counter() - t0:.2f}s")
     opts = AlignOptions(perq_out=os.path.join(wd, "perq.tsv"),
                         ref_out=os.path.join(wd, "ref.tsv"),
                         tax_out=os.path.join(wd, "tax.tsv"))
+    if a.device:  # exclude the one-time jit compile from the steady rate
+        al._batch_hits_device([b"A" * a.read_len] * 256)
     t0 = time.perf_counter()
     al.align_file(reads, opts)
     dt = time.perf_counter() - t0
-    print(f"batch : {a.reads / dt:,.0f} queries/s  ({dt:.2f}s)")
+    mode = "device" if a.device else "batch "
+    print(f"{mode}: {a.reads / dt:,.0f} queries/s  ({dt:.2f}s)")
 
     if a.scalar:
         t0 = time.perf_counter()

@@ -502,6 +502,7 @@ def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4
 # --------------------------------------------------------------------------
 
 _DISP_SEED_SALT = np.int64(0x94D049BB)
+_DISP_SEED_SALT2 = np.int64(0x7FEB352D)
 _DISP_C1 = np.uint32(0x85EBCA6B)
 _DISP_C2 = np.uint32(0xC2B2AE35)
 _DISP_MAX_SEEDS = 256
@@ -530,11 +531,18 @@ class DisplacedHashArrays:
                 "d3": jax.device_put(self.t3, sharding)}
 
 
-def _disp_slot_np(u2: np.ndarray, seed, nslots: int) -> np.ndarray:
-    """Slot index for (key-mix u2, seed) — numpy twin of the device mix."""
+def _disp_slot_np(u2: np.ndarray, ub: np.ndarray, seed, nslots: int) -> np.ndarray:
+    """Slot index for (key-mix pair (u2, ub), seed) — numpy twin of the device
+    mix.  TWO independent 32-bit key lanes must feed the seed mix: with one
+    lane, keys whose 32-bit mixes collide (expected ~n^2/2^33 pairs — ~2.6M at
+    150M entries) share a slot under EVERY seed, and the lock-step band
+    placement deadlocks both buckets into the spill (observed: 560K spilled at
+    150M vs the model's ~0).  With both lanes a collision needs 64 matching
+    bits and is seed-transient."""
     with np.errstate(over="ignore"):
         s = np.uint32(seed) if np.isscalar(seed) else seed.astype(np.uint32)
-        h = (u2.astype(np.uint32) ^ (s * _DISP_C1)) * _DISP_C2
+        h = ((u2.astype(np.uint32) ^ (s * _DISP_C1)) * _DISP_C2
+             ^ (ub.astype(np.uint32) ^ (s * _DISP_C2)) * _DISP_C1)
     return (h % np.uint32(nslots)).astype(np.int64)
 
 
@@ -594,6 +602,7 @@ def place_displaced_core(
     if nslots // 2 * (2 * cps) * 4 > t1_cap:
         raise ValueError("displaced t1 would exceed the HBM budget")
     u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
+    ub = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
 
     occupied = np.zeros(nslots, bool)
     slot_of = np.full(ng, -1, np.int64)
@@ -616,7 +625,7 @@ def place_displaced_core(
         for r in range(_DISP_MAX_SEEDS):
             if len(active) == 0:
                 break
-            slot = _disp_slot_np(u2[active], r, nslots)
+            slot = _disp_slot_np(u2[active], ub[active], r, nslots)
             ok_key = ~occupied[slot]
             su = np.argsort(slot, kind="stable")
             ss = slot[su]
@@ -663,8 +672,9 @@ def place_displaced_core(
         best_n = np.full(nb, -1, np.int64)
         best_s = np.zeros(nb, np.int64)
         u2a = u2[act]
+        uba = ub[act]
         for s in range(_DISP_MAX_SEEDS):
-            sl = _disp_slot_np(u2a, s, nslots)
+            sl = _disp_slot_np(u2a, uba, s, nslots)
             ok = ~occupied[sl]
             su = np.argsort(sl, kind="stable")
             ss = sl[su]
@@ -680,7 +690,7 @@ def place_displaced_core(
             if (best_n >= bcnt).all():
                 break
         # tentative placement under each bucket's best seed
-        sl = _disp_slot_np(u2a, best_s[binv], nslots)
+        sl = _disp_slot_np(u2a, uba, best_s[binv], nslots)
         ok = ~occupied[sl]
         su = np.argsort(sl, kind="stable")
         ss = sl[su]

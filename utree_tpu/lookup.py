@@ -714,13 +714,17 @@ def displaced_seed_jnp(seeds, bkt):
 
 
 def displaced_slot_jnp(key_lo, key_hi, seed, valid, nslots: int):
-    """t1 slot of each (key, seed) lane (builder twin: _disp_slot_np)."""
+    """t1 slot of each (key, seed) lane (builder twin: _disp_slot_np).  Two
+    independent key-mix lanes feed the seed mix — see _disp_slot_np for why
+    one lane deadlocks the placement at scale."""
     c_lo = key_lo.astype(jnp.uint32)
     c_hi32 = key_hi.astype(jnp.uint32)
     c_pre = (c_hi32 >> jnp.uint32(8)).astype(jnp.int32)
     c_hi8 = (c_hi32 & jnp.uint32(0xFF)).astype(jnp.int32)
     u2 = _mix_jnp(c_pre, c_hi8, c_lo ^ jnp.uint32(0x94D049BB))
-    h = (u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
+    ub = _mix_jnp(c_pre, c_hi8 ^ jnp.int32(0xA5), c_lo ^ jnp.uint32(0x7FEB352D))
+    h = ((u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
+         ^ (ub ^ (seed * jnp.uint32(0xC2B2AE35))) * jnp.uint32(0x85EBCA6B))
     return jnp.where(valid, (h % jnp.uint32(nslots)).astype(jnp.int32), 0)
 
 

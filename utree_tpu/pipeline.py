@@ -401,7 +401,11 @@ class SearchPipeline:
         consumes the in-flight FIFO entry and, when the step flagged a
         capacity overflow (last column, identical across rows), redispatches
         the batch through the exact broadcast fallback."""
-        arr = np.asarray(handles)
+        if self.tracer is not None:  # split drain into device-wait vs host vote
+            with self.tracer.phase("drain:d2h-wait"):
+                arr = np.asarray(handles)
+        else:
+            arr = np.asarray(handles)
         if self._routed:
             inputs = self._routed_inflight.pop(0)
             if arr.shape[0] and arr[0, -1]:
