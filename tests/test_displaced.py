@@ -139,3 +139,44 @@ def test_pipeline_displaced_mesh_golden(toy, tmp_path):
     SearchPipeline(index, do_rc=True, batch_size=128, lookup_mode="displaced",
                    devices=8).search_file(toy["reads"], str(out))
     assert out.read_bytes() == toy["golden_rc"]["classifications"].read_bytes()
+
+
+def test_straggler_pass_consistency_under_contention():
+    """Force the band loop to fail (huge buckets + high load) so placement
+    falls through to the vectorized best-seed straggler passes, then assert
+    the core invariant: every PLACED key sits exactly where the probe's
+    (stored seed, slot mix) will look for it.  Regression for the round-3
+    name-shadowing bug where pass>=1 indexed the unique-bucket array as the
+    second key-mix lane (only reachable at scale; crashes or corrupts)."""
+    from utree_tpu.hash_index import (_DISP_SEED_SALT, _DISP_SEED_SALT2,
+                                      _disp_slot_np, _mix_np,
+                                      displaced_buckets_np,
+                                      place_displaced_core)
+
+    rng = np.random.default_rng(5)
+    ng = 60_000
+    clo = rng.choice(1 << 31, size=ng, replace=False).astype(np.int64)
+    cpre = rng.integers(0, 1 << 24, ng).astype(np.int64)
+    chi = rng.integers(0, 256, ng).astype(np.int64)
+    key_lo = clo.astype(np.int32)
+    key_hi = (((cpre << 8) | chi) & 0x7FFFFFFF).astype(np.int32)
+    vals = np.arange(ng, dtype=np.int32).reshape(-1, 1) | 1
+    nseed = 2048  # lambda ~= 29 keys/bucket: band loop cannot seat these
+    t1, seeds32, spilled = place_displaced_core(
+        key_lo, key_hi, vals, cpre, chi, clo, ng,
+        load=0.9, spill_budget=ng, nseed=nseed)
+    assert 0 < len(spilled) < ng  # contention actually happened, not total loss
+
+    seed_of = np.frombuffer(seeds32.tobytes(), np.uint8)[:nseed]
+    bucket = displaced_buckets_np(cpre, chi, clo, nseed)
+    u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
+    u3 = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
+    nslots = 2 * t1.shape[0]
+    slot = _disp_slot_np(u2, u3, seed_of[bucket].astype(np.uint32), nslots)
+    placed = np.ones(ng, bool)
+    placed[spilled] = False
+    rows = (slot[placed] >> 1).astype(np.int64)
+    cols = (slot[placed] & 1).astype(np.int64)
+    assert np.array_equal(t1[rows, cols * 3], key_lo[placed])
+    assert np.array_equal(t1[rows, cols * 3 + 1], key_hi[placed])
+    assert np.array_equal(t1[rows, cols * 3 + 2], vals[placed, 0])

@@ -602,7 +602,7 @@ def place_displaced_core(
     if nslots // 2 * (2 * cps) * 4 > t1_cap:
         raise ValueError("displaced t1 would exceed the HBM budget")
     u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
-    ub = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
+    u3 = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
 
     occupied = np.zeros(nslots, bool)
     slot_of = np.full(ng, -1, np.int64)
@@ -625,7 +625,7 @@ def place_displaced_core(
         for r in range(_DISP_MAX_SEEDS):
             if len(active) == 0:
                 break
-            slot = _disp_slot_np(u2[active], ub[active], r, nslots)
+            slot = _disp_slot_np(u2[active], u3[active], r, nslots)
             ok_key = ~occupied[slot]
             su = np.argsort(slot, kind="stable")
             ss = slot[su]
@@ -672,9 +672,9 @@ def place_displaced_core(
         best_n = np.full(nb, -1, np.int64)
         best_s = np.zeros(nb, np.int64)
         u2a = u2[act]
-        uba = ub[act]
+        u3a = u3[act]
         for s in range(_DISP_MAX_SEEDS):
-            sl = _disp_slot_np(u2a, uba, s, nslots)
+            sl = _disp_slot_np(u2a, u3a, s, nslots)
             ok = ~occupied[sl]
             su = np.argsort(sl, kind="stable")
             ss = sl[su]
@@ -690,7 +690,7 @@ def place_displaced_core(
             if (best_n >= bcnt).all():
                 break
         # tentative placement under each bucket's best seed
-        sl = _disp_slot_np(u2a, uba, best_s[binv], nslots)
+        sl = _disp_slot_np(u2a, u3a, best_s[binv], nslots)
         ok = ~occupied[sl]
         su = np.argsort(sl, kind="stable")
         ss = sl[su]
