@@ -216,3 +216,109 @@ def test_canonical64_three_level_tier_exact(toy64):
                                       miss=miss, do_rc=True)
     assert np.array_equal(np.asarray(a0), np.asarray(a1))
     assert np.array_equal(np.asarray(b0), np.asarray(b1))
+
+
+def test_device_displaced64_equals_host_lookup(toy64):
+    """Displaced64 (seed + one 48B row gather): per-position {ix(f), ix(rc)}
+    must equal the host probe replay on both strands, on the real index."""
+    import numpy as np
+
+    from utree_tpu.encode import W128, search_window_words
+    from utree_tpu.hash_index64 import _rc128, build_displaced_index64
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.lookup import lookup_kmers_displaced64
+    from utree_tpu.search_host import HostIndex as HI, lookup_words
+
+    wd = toy64["dir"]
+    index = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    hidx = HI.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    built = build_displaced_index64(index)
+    tables = built.device_put()
+
+    rng = np.random.default_rng(80)
+    reads = wd / "reads.fa"
+    seqs = [l for l in reads.read_bytes().splitlines() if l and not l.startswith(b">")]
+    words_list = [search_window_words(s, 64, False) for s in seqs[:50]]
+    words = np.concatenate([w for w in words_list if len(w)])
+    rand = np.zeros(500, dtype=W128)
+    rand["hi"] = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    rand["lo"] = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    words = np.concatenate([words, rand])
+
+    ref_f = lookup_words(hidx, words)
+    rc = np.zeros(len(words), dtype=W128)
+    rc["hi"], rc["lo"] = _rc128(words["hi"], words["lo"])
+    ref_r = lookup_words(hidx, rc)
+
+    k0 = ((words["hi"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k1 = ((words["hi"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    k2 = ((words["lo"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k3 = ((words["lo"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    valid = np.ones(len(words), bool)
+    miss = CFG64.bad_ix if CFG64.bad_ix < 2**31 else 2**31 - 1
+    ixa, ixb = lookup_kmers_displaced64(
+        tables, k0, k1, k2, k3, valid, miss=miss, do_rc=True)
+    nl = index.num_labels
+    fa = np.where(np.asarray(ixa) < nl, np.asarray(ixa), -1)
+    fb = np.where(np.asarray(ixb) < nl, np.asarray(ixb), -1)
+    wf = np.where(ref_f < nl, ref_f, -1)
+    wr = np.where(ref_r < nl, ref_r, -1)
+    got = np.sort(np.stack([fa, fb]), axis=0)
+    want = np.sort(np.stack([wf, wr]), axis=0)
+    assert np.array_equal(got, want)
+    fwd = np.asarray(lookup_kmers_displaced64(
+        tables, k0, k1, k2, k3, valid, miss=miss, do_rc=False))
+    assert np.array_equal(np.where(fwd < nl, fwd, -1), wf)
+
+
+def test_displaced64_spill_tail_exact(toy64):
+    """Overloaded displaced64 placement (load ~1) pushes entries to the t3
+    tail; the probe must still answer identically."""
+    import numpy as np
+
+    from utree_tpu.encode import search_window_words
+    from utree_tpu.hash_index64 import build_displaced_index64
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.lookup import lookup_kmers_displaced64
+    from utree_tpu.search_host import HostIndex as HI, lookup_words
+
+    index = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    hidx = HI.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    built = build_displaced_index64(index, load=0.98,
+                                    spill_budget=index.num_records)
+    assert built.t3.shape[0] > 8  # spill actually happened
+    tables = built.device_put()
+
+    reads = toy64["dir"] / "reads.fa"
+    seqs = [l for l in reads.read_bytes().splitlines() if l and not l.startswith(b">")]
+    words = np.concatenate([w for w in (search_window_words(s, 64, False)
+                                        for s in seqs[:50]) if len(w)])
+    ref_f = lookup_words(hidx, words)
+    k0 = ((words["hi"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k1 = ((words["hi"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    k2 = ((words["lo"] >> np.uint64(32)).astype(np.uint32)).view(np.int32)
+    k3 = ((words["lo"] & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    valid = np.ones(len(words), bool)
+    miss = 2**31 - 1
+    fwd = np.asarray(lookup_kmers_displaced64(
+        tables, k0, k1, k2, k3, valid, miss=miss, do_rc=False))
+    nl = index.num_labels
+    assert np.array_equal(np.where(fwd < nl, fwd, -1),
+                          np.where(ref_f < nl, ref_f, -1))
+
+
+def test_device_pipeline64_displaced_matches_oracle(toy64, tmp_path):
+    """Full 64-mer device pipeline on the displaced table vs the reference
+    binary."""
+    from utree_tpu.index import DeviceIndexArrays
+    from utree_tpu.pipeline import SearchPipeline
+
+    wd = toy64["dir"]
+    idx = DeviceIndexArrays.from_ctr(str(toy64["golden"]["ctr"]), CFG64)
+    pipe = SearchPipeline(idx, do_rc=False, batch_size=64,
+                          lookup_mode="displaced")
+    assert "d64_1" in pipe._table
+    assert pipe.table_kind == "displaced64"
+    out = tmp_path / "cls64_disp.txt"
+    pipe.search_file(str(wd / "reads.fa"), str(out))
+    assert out.read_bytes() == toy64["golden"]["classifications"].read_bytes()

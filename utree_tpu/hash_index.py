@@ -578,13 +578,17 @@ def place_displaced_core(
     nseed: int | None = None,
     t1_cap: int = _CANON_T1_CAP,
     nslots_force: int | None = None,
+    u2: np.ndarray | None = None,
+    u3: np.ndarray | None = None,
 ):
     """Seed-choosing placement shared by the utree canonical entries and the
     xtree (prefix, suffix) entries — anything with (lo32, hi32) key lanes.
 
     bucket/nseed may be precomputed (the routed sharder passes shard-LOCAL
     buckets with the shard's seed-table slice size); nslots_force pins the
-    slot count so per-shard t1 arrays can stack on a mesh axis.  Returns
+    slot count so per-shard t1 arrays can stack on a mesh axis.  u2/u3 may
+    be precomputed slot-mix lanes (the 64-mer builder passes mix4-based
+    lanes over its four key words; the probe twin must match).  Returns
     (t1, seeds32, spilled_idx) — the caller builds the spill tail (local
     per table, or a merged global one for the routed mode)."""
     if ng == 0:
@@ -601,8 +605,10 @@ def place_displaced_core(
     nslots = nslots_force or max(int(ng / load) & ~1, 64)  # even: row = slot>>1
     if nslots // 2 * (2 * cps) * 4 > t1_cap:
         raise ValueError("displaced t1 would exceed the HBM budget")
-    u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
-    u3 = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
+    if u2 is None:
+        u2 = _mix_np(cpre, chi, clo ^ _DISP_SEED_SALT)
+    if u3 is None:
+        u3 = _mix_np(cpre, chi ^ np.int64(0xA5), clo ^ _DISP_SEED_SALT2)
 
     occupied = np.zeros(nslots, bool)
     slot_of = np.full(ng, -1, np.int64)

@@ -134,15 +134,10 @@ def _group_positions(bucket: np.ndarray):
     return order, sb, pos
 
 
-def build_canonical_hash_index64(
-    index: DeviceIndexArrays,
-    slots: int | None = None,
-    load: float | None = None,
-    slots2: int | None = None,
-) -> CanonicalHash64Arrays:
-    """64-mer canonical table with the same geometry LADDER as the 32-mer
-    one (hash_index.build_canonical_hash_index): tiny-cached-t2 tier, then
-    a 3-level narrow-row chain, then the wide-t2 fallback."""
+def _canonical_groups64(index: DeviceIndexArrays):
+    """Canonical (128-bit lex-min of word/RC) dual-value entries as four
+    uint32 key lanes + (va, vb); the 64-mer twin of
+    hash_index._canonical_groups."""
     if index.config.packsize != 64 or index.s_hi64 is None:
         raise ValueError("canonical64 requires a PACKSIZE=64 index")
     w_hi, w_lo, ix = _reference_hits64(index)
@@ -178,6 +173,19 @@ def build_canonical_hash_index64(
     k3 = (ck_lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     lanes = [k0.view(np.int32), k1.view(np.int32), k2.view(np.int32), k3.view(np.int32),
              va.astype(np.int32), vb.astype(np.int32)]
+    return lanes, k0, k1, k2, k3, ng
+
+
+def build_canonical_hash_index64(
+    index: DeviceIndexArrays,
+    slots: int | None = None,
+    load: float | None = None,
+    slots2: int | None = None,
+) -> CanonicalHash64Arrays:
+    """64-mer canonical table with the same geometry LADDER as the 32-mer
+    one (hash_index.build_canonical_hash_index): tiny-cached-t2 tier, then
+    a 3-level narrow-row chain, then the wide-t2 fallback."""
+    lanes, k0, k1, k2, k3, ng = _canonical_groups64(index)
 
     if slots is not None:
         tiers = [(slots, load or CANON64_LOAD, slots2 or CANON64_SLOTS2,
@@ -269,3 +277,83 @@ def _place64(lanes, k0, k1, k2, k3, ng, slots, load, slots2,
     t2 = np.zeros((b2, slots2 * 6), np.int32)
     _fill64(t2, sb2, pos2, spill[order2], lanes)
     return CanonicalHash64Arrays(t1, t2, t3, slots, slots2, max(slots3, 1), ng)
+
+
+# ---- seeded-displacement tier (one 48B row gather per probe) -------------
+# The 64-mer twin of hash_index.DisplacedHashArrays: entries are 6 int32
+# (k0..k3, va, vb) so a 2-slot t1 row is 48B = two gather sectors; the
+# cached u8 seed table and the slot-mix schedule are shared with the 32-mer
+# placement via place_displaced_core (u2/u3 overridden with mix4 lanes).
+
+_DISP64_SALT_U2 = 0x94D049BB
+_DISP64_SALT_U3 = 0x7FEB352D
+
+
+@dataclasses.dataclass
+class Displaced64Arrays:
+    t1: np.ndarray  # int32 (nslots/2, 12)
+    seeds: np.ndarray  # int32 (nseed//4,) packed u8, little-endian
+    t3: np.ndarray  # int32 (B3, slots3*6); 8-row all-zero = absent
+    slots3: int
+    num_entries: int
+
+    def device_put(self, sharding=None):
+        import jax
+
+        return {"d64_1": jax.device_put(self.t1, sharding),
+                "d64_s": jax.device_put(self.seeds, sharding),
+                "d64_3": jax.device_put(self.t3, sharding)}
+
+
+def displaced_buckets64_np(k0, k1, k2, k3, nseed: int) -> np.ndarray:
+    """Seed-bucket per key: the same folded two-mix hash the canonical64 t1
+    uses (probe twin: lookup.lookup_kmers_displaced64)."""
+    h1 = _mix4_np(k0, k1, k2, k3, 0)
+    hb = _mix4_np(k0, k1, k2, k3, 0x6A09E667)
+    with np.errstate(over="ignore"):
+        g = h1 ^ ((hb << np.uint32(15)) | (hb >> np.uint32(17)))
+    return (g & np.uint32(nseed - 1)).astype(np.int64)
+
+
+def build_displaced_index64(
+    index: DeviceIndexArrays,
+    load: float | None = None,
+    spill_budget: int | None = None,
+) -> Displaced64Arrays:
+    from utree_tpu.hash_index import (_DISP_LOAD, _DISP_SPILL_BUDGET,
+                                      _group_pos, displaced_nseed,
+                                      place_displaced_core)
+
+    lanes, k0, k1, k2, k3, ng = _canonical_groups64(index)
+    if ng == 0:
+        raise ValueError("empty index")
+    nseed = displaced_nseed(ng)
+    if nseed > (1 << 26):
+        raise ValueError("seed table would exceed the measured-free 64MB")
+    bucket = displaced_buckets64_np(k0, k1, k2, k3, nseed)
+    u2 = _mix4_np(k0, k1, k2, k3, _DISP64_SALT_U2)
+    u3 = _mix4_np(k0, k1, k2, k3, _DISP64_SALT_U3)
+    vals = np.stack(lanes[2:], axis=1)  # (k2, k3, va, vb) -> cps = 6
+    t1, seeds32, spilled = place_displaced_core(
+        lanes[0], lanes[1], vals, None, None, None, ng,
+        load=_DISP_LOAD if load is None else load,
+        spill_budget=_DISP_SPILL_BUDGET if spill_budget is None else spill_budget,
+        bucket=bucket, nseed=nseed, u2=u2, u3=u3)
+
+    slots3 = 8
+    t3 = np.zeros((8, slots3 * 6), np.int32)
+    if len(spilled):
+        h3 = _mix4_np(k0[spilled], k1[spilled], k2[spilled], k3[spilled],
+                      0x27D4EB2F)
+        b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (slots3 // 2))))))
+        while True:
+            order3, sb3, pos3 = _group_pos(h3.astype(np.int64), b3)
+            if len(pos3) == 0 or int(pos3.max()) < slots3:
+                break
+            b3 *= 2
+            if b3 * slots3 * 6 * 4 > 32 << 20:
+                raise ValueError("displaced64 spill tail overflow")
+        t3 = np.zeros((b3, slots3 * 6), np.int32)
+        _fill64(t3, sb3, pos3, spilled[order3], lanes)
+    return Displaced64Arrays(t1=t1, seeds=seeds32, t3=t3, slots3=slots3,
+                             num_entries=ng)

@@ -416,19 +416,8 @@ def rc_lanes64(k0, k1, k2, k3):
     return c(k3), c(k2), c(k1), c(k0)
 
 
-def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
-                             slots: int, slots2: int, miss: int, do_rc: bool):
-    """64-mer canonical dual-value hash lookup (hash_index64).  Returns
-    (ix_a, ix_b) when do_rc else the forward-strand matrix; `miss` must be
-    >= num_labels and fit int32 (the histogram only tests ix < num_labels)."""
-    from utree_tpu.hash_index64 import mix4
-
-    t1, t2 = tables["c64_1"], tables["c64_2"]
-    t3 = tables.get("c64_3")
-    b1, b2 = t1.shape[0], t2.shape[0]
-    if t1.shape[1] != slots * 6 or t2.shape[1] != slots2 * 6:
-        raise ValueError("slot count does not match table geometry")
-
+def _canonicalize64(k0, k1, k2, k3):
+    """Lex-min of (word, RC) on four int32 lanes -> (c0..c3, fwd_le)."""
     r0, r1, r2, r3 = rc_lanes64(k0, k1, k2, k3)
 
     def u(x):
@@ -445,6 +434,44 @@ def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
     c1 = jnp.where(fwd_le, k1, r1)
     c2 = jnp.where(fwd_le, k2, r2)
     c3 = jnp.where(fwd_le, k3, r3)
+    return c0, c1, c2, c3, fwd_le
+
+
+def _probe64(table, bucket, nslots, c0, c1, c2, c3):
+    """Match four key lanes over a row of nslots 6-col entries -> (va, vb)."""
+    rows = table[bucket]
+    va = jnp.zeros(bucket.shape, jnp.int32)
+    vb = jnp.zeros(bucket.shape, jnp.int32)
+    for s in range(nslots):
+        m = (
+            (rows[..., s * 6] == c0)
+            & (rows[..., s * 6 + 1] == c1)
+            & (rows[..., s * 6 + 2] == c2)
+            & (rows[..., s * 6 + 3] == c3)
+            & ((rows[..., s * 6 + 4] | rows[..., s * 6 + 5]) != 0)
+        )
+        va = jnp.where(m, rows[..., s * 6 + 4], va)
+        vb = jnp.where(m, rows[..., s * 6 + 5], vb)
+    return va, vb
+
+
+def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
+                             slots: int, slots2: int, miss: int, do_rc: bool):
+    """64-mer canonical dual-value hash lookup (hash_index64).  Returns
+    (ix_a, ix_b) when do_rc else the forward-strand matrix; `miss` must be
+    >= num_labels and fit int32 (the histogram only tests ix < num_labels)."""
+    from utree_tpu.hash_index64 import mix4
+
+    t1, t2 = tables["c64_1"], tables["c64_2"]
+    t3 = tables.get("c64_3")
+    b1, b2 = t1.shape[0], t2.shape[0]
+    if t1.shape[1] != slots * 6 or t2.shape[1] != slots2 * 6:
+        raise ValueError("slot count does not match table geometry")
+
+    c0, c1, c2, c3, fwd_le = _canonicalize64(k0, k1, k2, k3)
+
+    def u(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
     def probe(table, bucket, nslots):
         rows = table[bucket]
@@ -489,6 +516,53 @@ def lookup_kmers_canonical64(tables: dict, k0, k1, k2, k3, valid, *,
     return jnp.where(valid & (fwd > 0), fwd - 1, miss)
 
 
+def lookup_kmers_displaced64(tables: dict, k0, k1, k2, k3, valid, *,
+                             miss: int, do_rc: bool):
+    """64-mer seeded-displacement lookup (hash_index64.Displaced64Arrays):
+    cached u8 seed read + ONE 2-slot 48B row gather answers both strands;
+    cached t3 tail for placement spill.  Builder twins:
+    displaced_buckets64_np (bucket) and place_displaced_core's _disp_slot_np
+    over mix4 u2/u3 lanes (slot)."""
+    from utree_tpu.hash_index64 import mix4
+
+    t1, seeds = tables["d64_1"], tables["d64_s"]
+    t3 = tables.get("d64_3")
+    if t1.shape[1] != 12:
+        raise ValueError("displaced64 t1 must have 2-slot rows")
+    nslots = 2 * t1.shape[0]
+    nseed = 4 * seeds.shape[0]
+
+    c0, c1, c2, c3, fwd_le = _canonicalize64(k0, k1, k2, k3)
+
+    def u(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    h1 = mix4(u(c0), u(c1), u(c2), u(c3), 0, jnp.uint32)
+    hb = mix4(u(c0), u(c1), u(c2), u(c3), 0x6A09E667, jnp.uint32)
+    g = h1 ^ ((hb << jnp.uint32(15)) | (hb >> jnp.uint32(17)))
+    bkt = jnp.where(valid, (g & jnp.uint32(nseed - 1)).astype(jnp.int32), 0)
+    seed = displaced_seed_jnp(seeds, bkt)
+    u2 = mix4(u(c0), u(c1), u(c2), u(c3), 0x94D049BB, jnp.uint32)
+    u3 = mix4(u(c0), u(c1), u(c2), u(c3), 0x7FEB352D, jnp.uint32)
+    h = ((u2 ^ (seed * jnp.uint32(0x85EBCA6B))) * jnp.uint32(0xC2B2AE35)
+         ^ (u3 ^ (seed * jnp.uint32(0xC2B2AE35))) * jnp.uint32(0x85EBCA6B))
+    slot = jnp.where(valid, (h % jnp.uint32(nslots)).astype(jnp.int32), 0)
+    va, vb = _probe64(t1, slot >> 1, 2, c0, c1, c2, c3)
+    if t3 is not None and t3.shape[0] > 8:
+        h3 = mix4(u(c0), u(c1), u(c2), u(c3), 0x27D4EB2F, jnp.uint32)
+        bkt3 = jnp.where(valid, (h3 & jnp.uint32(t3.shape[0] - 1)).astype(jnp.int32), 0)
+        va3, vb3 = _probe64(t3, bkt3, t3.shape[1] // 6, c0, c1, c2, c3)
+        hit = (va | vb) != 0
+        va = jnp.where(hit, va, va3)
+        vb = jnp.where(hit, vb, vb3)
+    if do_rc:
+        ix_a = jnp.where(valid & (va > 0), va - 1, miss)
+        ix_b = jnp.where(valid & (vb > 0), vb - 1, miss)
+        return ix_a, ix_b
+    fwd = jnp.where(fwd_le, va, vb)
+    return jnp.where(valid & (fwd > 0), fwd - 1, miss)
+
+
 def window_lanes(reads_u8: jax.Array, lengths: jax.Array, k: int, do_rc: bool):
     """ASCII reads -> per-window (qpre, qhi, qlo, valid) lanes, forward
     followed by arithmetic RC words (k=32)."""
@@ -521,14 +595,19 @@ def search_step(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
         return _canonical_family_ix(table, qpre, qhi, qlo, valid,
                                     bad_ix=bad_ix, do_rc=do_rc,
                                     num_labels=num_labels)
-    if "c64_1" in table and k == 64:
+    if ("c64_1" in table or "d64_1" in table) and k == 64:
         codes = base_codes(reads_u8, lengths)
         k0, k1, k2, k3, valid = extract_windows64(codes)
-        r = lookup_kmers_canonical64(
-            table, k0, k1, k2, k3, valid,
-            slots=table["c64_1"].shape[1] // 6,
-            slots2=table["c64_2"].shape[1] // 6,
-            miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
+        if "d64_1" in table:
+            r = lookup_kmers_displaced64(
+                table, k0, k1, k2, k3, valid,
+                miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
+        else:
+            r = lookup_kmers_canonical64(
+                table, k0, k1, k2, k3, valid,
+                slots=table["c64_1"].shape[1] // 6,
+                slots2=table["c64_2"].shape[1] // 6,
+                miss=min(bad_ix, 0x7FFFFFFF), do_rc=do_rc)
         return jnp.concatenate(r, axis=1) if do_rc else r
     qpre, qhi, qlo, valid = window_lanes(reads_u8, lengths, k, do_rc)
     if "t1" in table:

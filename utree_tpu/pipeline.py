@@ -152,24 +152,41 @@ class SearchPipeline:
                 self.lookup_mode == "auto" and self.index.num_records < 400_000_000
             )
             if cfg.packsize == 64:
-                if self.lookup_mode not in ("auto", "canonical"):
+                if self.lookup_mode not in ("auto", "canonical", "displaced"):
                     # don't silently ignore an explicit table-layout request
                     raise ValueError(
                         f"--lookup-mode {self.lookup_mode!r} is unsupported for "
-                        "PACKSIZE=64; the only device path is the canonical hash"
+                        "PACKSIZE=64; device paths are the canonical hash and "
+                        "the seeded-displacement table"
                     )
-                # the only 64-mer device path is the canonical hash (104-bit
-                # suffixes have no device bsearch); --host otherwise
-                from utree_tpu.hash_index64 import build_canonical_hash_index64
+                # 64-mer device paths: canonical-hash ladder below the
+                # displaced crossover, seeded displacement above (same
+                # measured geometry economics as k=32; 104-bit suffixes have
+                # no device bsearch) — --host otherwise
+                from utree_tpu.hash_index64 import (build_canonical_hash_index64,
+                                                    build_displaced_index64)
 
-                try:
-                    self._table = build_canonical_hash_index64(self.index).device_put(self._repl)
-                except (ValueError, RuntimeError) as e:
-                    raise RuntimeError(
-                        "PACKSIZE=64 device search needs the canonical hash "
-                        f"table, which this DB cannot build ({e}); use the "
-                        "host path (search --host)"
-                    ) from e
+                self._table = None
+                if self.lookup_mode == "displaced" or (
+                    self.lookup_mode == "auto"
+                    and self.index.num_records >= 80_000_000
+                ):
+                    try:
+                        self._table = build_displaced_index64(self.index).device_put(self._repl)
+                    except (ValueError, RuntimeError) as e:
+                        if self.lookup_mode == "displaced":
+                            raise RuntimeError(
+                                f"--lookup-mode displaced cannot be honored: {e}"
+                            ) from e
+                if self._table is None:
+                    try:
+                        self._table = build_canonical_hash_index64(self.index).device_put(self._repl)
+                    except (ValueError, RuntimeError) as e:
+                        raise RuntimeError(
+                            "PACKSIZE=64 device search needs the canonical hash "
+                            f"table, which this DB cannot build ({e}); use the "
+                            "host path (search --host)"
+                        ) from e
             elif (
                 self.lookup_mode in ("auto", "canonical", "displaced")
                 and use_hash
@@ -284,6 +301,8 @@ class SearchPipeline:
             return "canonical"
         if "c64_1" in t:
             return "canonical64"
+        if "d64_1" in t:
+            return "displaced64"
         if "ds" in t:
             return "routed-displaced"
         if "t1" in t:
