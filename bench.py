@@ -114,10 +114,23 @@ def main():
         f = pathlib.Path(cache_dir) / f"disp_{num_kmers}_{num_labels}.npz"
         if f.exists():
             z = np.load(f)
+            t3, slots3 = z["t3"], int(z["slots3"])
+            wide = bool(z["wide"])
+            cps = 4 if wide else 3
+            if slots3 != 4 and t3.shape[0] > 8:
+                # cache written with the old wide-row tail geometry:
+                # re-bucket (seconds) instead of replaying the placement
+                from utree_tpu.hash_index import respill_displaced_t3
+
+                t3 = respill_displaced_t3(t3, wide)
+                slots3 = t3.shape[1] // cps
+                np.savez(f, t1=z["t1"], seeds=z["seeds"], t3=t3,
+                         slots3=slots3, ne=z["ne"], wide=z["wide"])
+                log("bench: cached spill tail re-bucketed to narrow rows")
             disp = DisplacedHashArrays(
-                t1=z["t1"], seeds=z["seeds"], t3=z["t3"],
-                slots3=int(z["slots3"]), num_entries=int(z["ne"]),
-                wide=bool(z["wide"]))
+                t1=z["t1"], seeds=z["seeds"], t3=t3,
+                slots3=slots3, num_entries=int(z["ne"]),
+                wide=wide)
             log(f"bench: displaced table loaded from {f}")
         else:
             disp = build_displaced_index(index)

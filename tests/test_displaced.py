@@ -180,3 +180,28 @@ def test_straggler_pass_consistency_under_contention():
     assert np.array_equal(t1[rows, cols * 3], key_lo[placed])
     assert np.array_equal(t1[rows, cols * 3 + 1], key_hi[placed])
     assert np.array_equal(t1[rows, cols * 3 + 2], vals[placed, 0])
+
+
+def test_respill_t3_migration_equal():
+    """respill_displaced_t3 re-buckets an existing tail into the narrow row
+    geometry; probes must answer identically (cache-migration helper)."""
+    from utree_tpu.hash_index import respill_displaced_t3
+
+    rng = np.random.default_rng(17)
+    words = np.sort(rng.choice(1 << 40, size=40_000, replace=False).astype(np.uint64))
+    ixs = rng.integers(0, 50, len(words)).astype(np.int64)
+    queries = np.concatenate([words[::7], rng.integers(0, 1 << 40, 300, dtype=np.uint64)])
+    cfg = UTreeConfig()
+    index = DeviceIndexArrays.from_build(words, ixs, [b"l%d" % i for i in range(50)], cfg)
+    built = build_displaced_index(index, load=0.98, spill_budget=len(words))
+    assert built.t3.shape[0] > 8
+    qpre, qhi, qlo = _lanes(queries)
+    valid = np.ones(len(queries), bool)
+    a = np.asarray(lookup_kmers_displaced(built.device_put(), qpre, qhi, qlo,
+                                          valid, bad_ix=65535, do_rc=False))
+    t3b = respill_displaced_t3(built.t3, built.wide)
+    import dataclasses as dc
+    moved = dc.replace(built, t3=t3b, slots3=t3b.shape[1] // 3)
+    b = np.asarray(lookup_kmers_displaced(moved.device_put(), qpre, qhi, qlo,
+                                          valid, bad_ix=65535, do_rc=False))
+    assert np.array_equal(a, b)

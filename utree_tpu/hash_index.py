@@ -769,9 +769,14 @@ def place_displaced_core(
 
 
 def build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo,
-                   slots3: int = 16) -> np.ndarray:
+                   slots3: int = 4) -> np.ndarray:
     """Cached spill-tail table for the entries the placement could not seat
-    (8-row all-zero = absent; probe twin: lookup.displaced_probe_raw)."""
+    (8-row all-zero = absent; probe twin: lookup.displaced_probe_raw).
+
+    Rows are NARROW (4 slots = 48B): the tail is probed unconditionally for
+    every key, and row width dominates its cost even cache-resident —
+    measured at the 150M tier: 16-slot 192B rows +8.7ns/probe, 48B rows
+    +4.1ns (step_decomp4, round 3)."""
     cps = 2 + vals.shape[1]
     if not len(spilled):
         return np.zeros((8, slots3 * cps), np.int32)
@@ -802,5 +807,30 @@ def place_displaced(
         key_lo, key_hi, vals, cpre, chi, clo, ng, load=load,
         spill_budget=spill_budget, bucket=bucket, nseed=nseed, t1_cap=t1_cap)
     t3 = build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo)
-    return DisplacedHashArrays(t1=t1, seeds=seeds32, t3=t3, slots3=16,
+    cps = 2 + vals.shape[1]
+    return DisplacedHashArrays(t1=t1, seeds=seeds32, t3=t3,
+                               slots3=t3.shape[1] // cps,
                                num_entries=ng, wide=vals.shape[1] == 2)
+
+
+def respill_displaced_t3(t3_old: np.ndarray, wide: bool) -> np.ndarray:
+    """Re-bucket a spill tail into the current row geometry (cache
+    migration: tables cached with the old 16-slot 192B rows reload into
+    48B rows without replaying the 30-minute placement).  Entry lanes
+    reconstruct (cpre, chi, clo) exactly as _canonical_groups laid them
+    out (key_hi = pre24<<8 | hi8, key_lo = suffix lo32)."""
+    cps = 4 if wide else 3
+    e = t3_old.reshape(-1, cps)
+    live = (e[:, 2] != 0) if not wide else ((e[:, 2] | e[:, 3]) != 0)
+    e = e[live]
+    if not len(e):
+        return np.zeros((8, 4 * cps), np.int32)
+    key_lo = e[:, 0]
+    key_hi = e[:, 1]
+    vals = e[:, 2:]
+    kh = key_hi.view(np.uint32).astype(np.int64)
+    cpre = kh >> 8
+    chi = kh & 0xFF
+    clo = key_lo.view(np.uint32).astype(np.int64)
+    idx = np.arange(len(e), dtype=np.int64)
+    return build_spill_t3(idx, key_lo, key_hi, vals, cpre, chi, clo)

@@ -340,7 +340,9 @@ def build_displaced_index64(
         spill_budget=_DISP_SPILL_BUDGET if spill_budget is None else spill_budget,
         bucket=bucket, nseed=nseed, u2=u2, u3=u3)
 
-    slots3 = 8
+    # narrow tail rows (2 slots = 48B): probed unconditionally, so row width
+    # dominates its cost even cache-resident (see hash_index.build_spill_t3)
+    slots3 = 2
     t3 = np.zeros((8, slots3 * 6), np.int32)
     if len(spilled):
         h3 = _mix4_np(k0[spilled], k1[spilled], k2[spilled], k3[spilled],

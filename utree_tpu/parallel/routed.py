@@ -347,7 +347,8 @@ class ShardedDisplacedIndex:
                 f"sharded displaced spill {len(spilled)} exceeds the cached budget")
         t3 = build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo)
         return cls(t1=np.stack(t1s), seeds=np.stack(seedss), t3=t3,
-                   num_shards=S, nseed=nseed, slots3=16,
+                   num_shards=S, nseed=nseed,
+                   slots3=t3.shape[1] // (2 + vals.shape[1]),
                    wide=vals.shape[1] == 2, num_entries=ng)
 
     def device_put(self, mesh: Mesh, axis: str = "table"):
