@@ -56,7 +56,15 @@ _CANON_T1_CAP = 6 << 30  # v5e HBM is 16GB; measured step workspace + t2 need ~8
 
 def _mix_np(pre: np.ndarray, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     """Deterministic 32-bit mix of the (pre24, hi8, lo32) word lanes; the jnp
-    twin in lookup.py must compute the identical value."""
+    twin in lookup.py must compute the identical value.
+
+    The final multiply+shift matters: with `hi` entering through a single
+    add-multiply, collision deltas were SALT-INDEPENDENT — key pairs that
+    collided under one salted variant collided under all of them, so the
+    same pairs deadlocked the displaced placement (slot equal under every
+    seed), spilled together, and then re-collided in the spill tail's
+    buckets (observed: 5-entry t3 clusters at lambda 0.06).  The extra
+    multiply gives every lane two full avalanche rounds."""
     with np.errstate(over="ignore"):
         h = pre.astype(np.uint32) * _M1
         h ^= lo.astype(np.uint32) ^ (lo.astype(np.uint32) >> np.uint32(16))
@@ -64,6 +72,8 @@ def _mix_np(pre: np.ndarray, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
         h ^= h >> np.uint32(13)
         h += hi.astype(np.uint32) * _M3
         h ^= h >> np.uint32(16)
+        h *= _M1
+        h ^= h >> np.uint32(15)
     return h
 
 

@@ -197,6 +197,8 @@ def _mix_jnp(pre, hi, lo):
     h = h ^ (h >> jnp.uint32(13))
     h = h + hi.astype(jnp.uint32) * m3
     h = h ^ (h >> jnp.uint32(16))
+    h = h * m1
+    h = h ^ (h >> jnp.uint32(15))
     return h
 
 
