@@ -783,25 +783,33 @@ def build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo,
     """Cached spill-tail table for the entries the placement could not seat
     (8-row all-zero = absent; probe twin: lookup.displaced_probe_raw).
 
-    Rows are NARROW (4 slots = 48B): the tail is probed unconditionally for
-    every key, and row width dominates its cost even cache-resident —
+    Rows start NARROW (4 slots = 48B): the tail is probed unconditionally
+    for every key, and row width dominates its cost even cache-resident —
     measured at the 150M tier: 16-slot 192B rows +8.7ns/probe, 48B rows
-    +4.1ns (step_decomp4, round 3)."""
+    +4.1ns (step_decomp4, round 3).  A narrow tail only fits a tiny spill
+    (maxpos < 4 across ~100K buckets needs lambda <= ~0.1), so larger
+    spills escalate a GEOMETRY ladder — wider rows under a growing byte
+    cap — rather than fail: a fatter cached tail still beats losing the
+    whole displaced path to the bsearch replay by ~10x."""
     cps = 2 + vals.shape[1]
     if not len(spilled):
         return np.zeros((8, slots3 * cps), np.int32)
     h3 = _mix_np(cpre[spilled], chi[spilled], clo[spilled] ^ np.int64(0x27D4EB2F))
-    b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (slots3 // 2))))))
-    while True:
-        order3, sb3, pos3 = _group_pos(h3, b3)
-        if len(pos3) == 0 or int(pos3.max()) < slots3:
-            break
-        b3 *= 2
-        if b3 * slots3 * cps * 4 > _T3_BYTE_CAP:
-            raise ValueError("displaced spill tail overflow")
-    t3 = np.zeros((b3, slots3 * cps), np.int32)
-    _fill(t3, sb3, pos3, spilled[order3], key_lo, key_hi, vals)
-    return t3
+    for s3, cap in ((slots3, _T3_BYTE_CAP), (slots3 * 2, _T3_BYTE_CAP),
+                    (slots3 * 4, 2 * _T3_BYTE_CAP), (slots3 * 8, 4 * _T3_BYTE_CAP)):
+        b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (s3 * 0.3))))))
+        while b3 * s3 * cps * 4 > cap and b3 > 16:
+            b3 //= 2
+        while True:
+            order3, sb3, pos3 = _group_pos(h3, b3)
+            if len(pos3) == 0 or int(pos3.max()) < s3:
+                t3 = np.zeros((b3, s3 * cps), np.int32)
+                _fill(t3, sb3, pos3, spilled[order3], key_lo, key_hi, vals)
+                return t3
+            b3 *= 2
+            if b3 * s3 * cps * 4 > cap:
+                break
+    raise ValueError("displaced spill tail overflow")
 
 
 def place_displaced(
