@@ -39,6 +39,12 @@ def main():
     use_ctr = os.environ.get("BENCH_CTR", "0") == "1"
     use_gz = os.environ.get("BENCH_GZ", "0") == "1"
     lookup_mode = os.environ.get("BENCH_LOOKUP", "auto")  # auto|canonical|displaced|hash|bsearch
+    # Histogram readback cap: the tunnel's d2h path is ~4x slower than h2d
+    # (measured 12 vs 54 MB/s), so the (B, cap+1) readback dominates transfer
+    # cost; reads whose unique-label count exceeds cap are recomputed exactly
+    # on host (pipeline.py drain), so ANY cap is exact — smaller caps trade
+    # rare host replays for fewer d2h bytes per read.
+    hist_cap = int(os.environ.get("BENCH_CAP", 8))
     len_mix = [int(x) for x in os.environ.get("BENCH_LEN_MIX", "").split(",") if x]
 
     from utree_tpu.config import UTreeConfig
@@ -142,7 +148,8 @@ def main():
 
     tracer = PhaseTimer(quiet=True)
     pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer,
-                          lookup_mode=lookup_mode, _table=table)
+                          lookup_mode=lookup_mode, _table=table,
+                          hist_cap=hist_cap)
     log(f"bench: table_kind={pipe.table_kind} (warm-jit regime measured; "
         "first-compile excluded by the warmup batch)")
 
