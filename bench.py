@@ -42,9 +42,13 @@ def main():
     # Histogram readback cap: the tunnel's d2h path is ~4x slower than h2d
     # (measured 12 vs 54 MB/s), so the (B, cap+1) readback dominates transfer
     # cost; reads whose unique-label count exceeds cap are recomputed exactly
-    # on host (pipeline.py drain), so ANY cap is exact — smaller caps trade
-    # rare host replays for fewer d2h bytes per read.
+    # on host (pipeline.py drain), so any cap IN 1..30 is exact (the packed
+    # output stores nuniq in 5 bits; SearchPipeline rejects caps outside that)
+    # — smaller caps trade rare host replays for fewer d2h bytes per read.
     hist_cap = int(os.environ.get("BENCH_CAP", 8))
+    if not 1 <= hist_cap <= 30:
+        raise SystemExit(f"BENCH_CAP={hist_cap} out of range 1..30 "
+                         "(5-bit packed nuniq lane)")
     len_mix = [int(x) for x in os.environ.get("BENCH_LEN_MIX", "").split(",") if x]
 
     from utree_tpu.config import UTreeConfig

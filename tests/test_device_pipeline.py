@@ -136,3 +136,53 @@ def test_explicit_lookup_mode_never_degrades(toy):
     idx64 = DeviceIndexArrays.from_build(res64.words, res64.ixs, res64.labels.strings, cfg64)
     with pytest.raises(ValueError):
         SearchPipeline(idx64, lookup_mode="bsearch", batch_size=8)
+
+
+def test_auto_mode_never_silently_degrades(toy, monkeypatch):
+    """Auto lookup-mode must not quietly serve a huge DB through the ~15x
+    slower bsearch replay (VERDICT r3 #3): when no single-chip device table
+    fits, it raises pointing at the routed multi-chip remedy."""
+    import pytest
+
+    from utree_tpu.build import build_database
+
+    cfg = UTreeConfig()
+    res = build_database(toy["refs"], toy["map"], cfg)
+    idx = DeviceIndexArrays.from_build(res.words, res.ixs, res.labels.strings, cfg)
+
+    # beyond the device tables' ceiling entirely (auto skips them): must raise
+    monkeypatch.setattr(DeviceIndexArrays, "num_records",
+                        property(lambda self: 500_000_000))
+    with pytest.raises(RuntimeError, match="routed"):
+        SearchPipeline(idx, lookup_mode="auto", batch_size=8)
+
+    # in the displaced/canonical band but both builders fail (the 268M-400M
+    # cliff): must raise, not fall back to replay
+    monkeypatch.setattr(DeviceIndexArrays, "num_records",
+                        property(lambda self: 300_000_000))
+    import utree_tpu.hash_index as hi
+
+    monkeypatch.setattr(hi, "build_displaced_index",
+                        lambda *a, **k: (_ for _ in ()).throw(ValueError("too big")))
+    monkeypatch.setattr(hi, "build_canonical_hash_index",
+                        lambda *a, **k: (_ for _ in ()).throw(ValueError("too big")))
+    with pytest.raises(RuntimeError, match="routed"):
+        SearchPipeline(idx, lookup_mode="auto", batch_size=8)
+
+    # explicit bsearch stays available at any size
+    pipe = SearchPipeline(idx, lookup_mode="bsearch", batch_size=8)
+    assert pipe.table_kind == "bsearch"
+
+
+def test_hist_cap_validated(toy):
+    """hist_cap outside the packed 5-bit nuniq range raises (ADVICE r3)."""
+    import pytest
+
+    from utree_tpu.build import build_database
+
+    cfg = UTreeConfig()
+    res = build_database(toy["refs"], toy["map"], cfg)
+    idx = DeviceIndexArrays.from_build(res.words, res.ixs, res.labels.strings, cfg)
+    for bad in (0, 31, -1, 64):
+        with pytest.raises(ValueError, match="hist_cap"):
+            SearchPipeline(idx, hist_cap=bad, batch_size=8)

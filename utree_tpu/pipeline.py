@@ -34,6 +34,13 @@ from utree_tpu.io.fasta import iter_fasta_records
 from utree_tpu.lookup import search_step_hist
 
 
+# auto lookup-mode may silently fall back to the bsearch-replay path only
+# below this record count: smaller DBs replay acceptably fast, while at L2+
+# density the replay is a measured ~15x regression (NOTES.md tier table) that
+# must surface as an error pointing at the routed multi-chip remedy
+_REPLAY_AUTO_MAX = 80_000_000
+
+
 def _bucket_len(n: int, minimum: int = 64) -> int:
     """Round length up to a power of two to bound jit recompiles."""
     b = minimum
@@ -81,6 +88,13 @@ class SearchPipeline:
 
     def __post_init__(self):
         cfg = self.index.config
+        # the packed device output stores nuniq in a 5-bit lane with cap+1 as
+        # the overflow sentinel (lookup.pack_hist; host unpacks tail & 31), so
+        # cap > 30 silently corrupts results and cap < 1 has no histogram rows
+        if not 1 <= self.hist_cap <= 30:
+            raise ValueError(
+                f"hist_cap={self.hist_cap} out of range: the packed device "
+                "histogram carries nuniq in 5 bits (valid caps are 1..30)")
         self._mesh = None
         self._repl = self._data = None
         self._routed = self.lookup_mode == "routed"
@@ -219,7 +233,19 @@ class SearchPipeline:
                             raise RuntimeError(
                                 f"--lookup-mode canonical cannot be honored: {e}"
                             ) from e
-                        # exceeds the HBM budget / degenerate spill -> replay path
+                        # neither device table fits this DB on one chip.  Only
+                        # small DBs (degenerate-spill corner cases) may quietly
+                        # take the bsearch replay: at L2+ density the replay
+                        # runs ~15x slower (18K reads/s at 150M, NOTES.md tier
+                        # table), which auto mode must not silently accept
+                        if self.index.num_records >= _REPLAY_AUTO_MAX:
+                            raise RuntimeError(
+                                f"this DB ({self.index.num_records:,} records) fits "
+                                f"no single-chip device table ({e}); shard it across "
+                                "chips with --devices N --lookup-mode routed, or force "
+                                "the ~15x-slower replay explicitly with "
+                                "--lookup-mode bsearch"
+                            ) from e
                         self._table = self.index.device_put(self._repl)
             elif use_hash:
                 if self.lookup_mode == "canonical":
@@ -230,6 +256,16 @@ class SearchPipeline:
 
                 self._table = build_hash_index(self.index).device_put(self._repl)
             else:
+                # explicit --lookup-mode bsearch, or auto beyond the device
+                # tables' proven ceiling (~268M displaced).  Auto must not
+                # silently serve a huge DB at replay speed (VERDICT r3 #3)
+                if (self.lookup_mode == "auto"
+                        and self.index.num_records >= _REPLAY_AUTO_MAX):
+                    raise RuntimeError(
+                        f"this DB ({self.index.num_records:,} records) exceeds the "
+                        "single-chip device-table ceiling; shard it across chips "
+                        "with --devices N --lookup-mode routed, or force the "
+                        "~15x-slower replay explicitly with --lookup-mode bsearch")
                 self._table = self.index.device_put(self._repl)
         self._vote_engine = None
         if self.use_native_vote and self.support_ranges == 1:
