@@ -207,3 +207,21 @@ def test_device_align_outputs_identical(xtoy, tmp_path):
     ))
     for name in ["perq", "ref", "tax", "cov"]:
         assert (tmp_path / f"o_{name}.tsv").read_bytes() == (tmp_path / f"g_{name}.tsv").read_bytes(), name
+
+
+def test_build_log_identical(xtoy, tmp_path):
+    """X11 golden: per-ref TotalKmers/UniqKmers build log byte-identical to
+    the reference's --log-out tally (xtree.c:476-529), both comp levels."""
+    from utree_tpu.xtree.build import write_build_log
+
+    for comp in (0, 2):
+        run_xtree_oracle([
+            "BUILD", "--seqs", str(xtoy / "refs.fa"), "--map", str(xtoy / "tax3.map"),
+            "--db-out", str(tmp_path / f"g{comp}.xtr"), "--k", "29",
+            "--comp", str(comp), "--log-out", str(tmp_path / f"gold{comp}.log"),
+        ])
+        db = build_xtree_db(str(xtoy / "refs.fa"), str(xtoy / "tax3.map"),
+                            k=29, comp=comp)
+        write_build_log(db, str(tmp_path / f"ours{comp}.log"))
+        assert (tmp_path / f"ours{comp}.log").read_bytes() == \
+            (tmp_path / f"gold{comp}.log").read_bytes(), f"comp={comp}"
