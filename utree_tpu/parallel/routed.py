@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -307,7 +308,8 @@ class ShardedDisplacedIndex:
     @classmethod
     def build(cls, index, num_shards: int, *, load: float | None = None,
               spill_budget: int | None = None,
-              t1_cap: int | None = None) -> "ShardedDisplacedIndex":
+              t1_cap: int | None = None,
+              workers: int | None = None) -> "ShardedDisplacedIndex":
         from utree_tpu.hash_index import (_DISP_LOAD, _DISP_SPILL_BUDGET,
                                           _CANON_T1_CAP, _canonical_groups,
                                           build_spill_t3, displaced_buckets_np,
@@ -329,8 +331,16 @@ class ShardedDisplacedIndex:
         bounds = np.zeros(S + 1, np.int64)
         np.cumsum(counts, out=bounds[1:])
         nslots = max(int(int(counts.max()) / load) & ~1, 64)
-        t1s, seedss, spills = [], [], []
-        for s in range(S):
+
+        # shards place CONCURRENTLY: the radix partition is the parallel
+        # surface (VERDICT r3 #2 — serial placement of 8x150M shards is
+        # ~8x10min).  Threads, not processes: the placement is dominated by
+        # large vectorized numpy kernels (sorts, bincounts, mixes) that
+        # release the GIL, and threads share the key arrays zero-copy where
+        # worker processes would pickle multi-GB t1 slabs back through pipes.
+        # Each shard's placement touches only its own idx_s slice, so the
+        # only shared state is read-only input.
+        def place_shard(s: int):
             idx_s = order[bounds[s] : bounds[s + 1]]
             t1_s, seeds_s, spilled_s = place_displaced_core(
                 key_lo[idx_s], key_hi[idx_s], vals[idx_s],
@@ -338,9 +348,20 @@ class ShardedDisplacedIndex:
                 load=load, spill_budget=spill_budget,
                 bucket=bucket[idx_s] - s * per_seed, nseed=per_seed,
                 t1_cap=t1_cap, nslots_force=nslots)
-            t1s.append(t1_s)
-            seedss.append(seeds_s)
-            spills.append(idx_s[spilled_s])
+            return t1_s, seeds_s, idx_s[spilled_s]
+
+        if workers is None:
+            workers = min(S, os.cpu_count() or 1)
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(place_shard, range(S)))
+        else:
+            results = [place_shard(s) for s in range(S)]
+        t1s = [r[0] for r in results]
+        seedss = [r[1] for r in results]
+        spills = [r[2] for r in results]
         spilled = np.concatenate(spills) if spills else np.zeros(0, np.int64)
         if len(spilled) > spill_budget:
             raise ValueError(
