@@ -186,3 +186,56 @@ def test_hist_cap_validated(toy):
     for bad in (0, 31, -1, 64):
         with pytest.raises(ValueError, match="hist_cap"):
             SearchPipeline(idx, hist_cap=bad, batch_size=8)
+
+
+def test_compact_readback_identical(toy, tmp_path):
+    """The compact d2h layout (8B/read + overflow block) must reproduce the
+    full-layout output byte-for-byte, including its host-replay rows."""
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden_rc"]["ctr"]))
+    outs = {}
+    for compact in (True, False):
+        pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
+                              compact_readback=compact)
+        assert pipe._compact is compact
+        out = tmp_path / f"cls_compact_{compact}.txt"
+        pipe.search_file(str(toy["reads"]), str(out))
+        outs[compact] = out.read_bytes()
+    assert outs[True] == outs[False]
+    assert outs[True] == toy["golden_rc"]["classifications"].read_bytes()
+
+
+def test_compact_overflow_redispatches_full(toy, tmp_path):
+    """A batch with more >=2-label reads than the overflow block holds must
+    be redispatched through the full layout — same bytes, never truncated."""
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden_rc"]["ctr"]))
+    pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
+                          compact_over_cap=1)
+    # the toy reads all hit one label; chimeric reads spliced from two
+    # references hit >= 2, overflowing the 1-row block and forcing the
+    # full-layout redispatch
+    from utree_tpu.io.fasta import iter_fasta_records
+
+    refs = [seq for _, seq in iter_fasta_records(toy["refs"])]
+    rng = np.random.default_rng(3)
+    seqs = []
+    for i in range(64):
+        a, b = rng.choice(len(refs), size=2, replace=False)
+        pa = rng.integers(0, len(refs[a]) - 80)
+        pb = rng.integers(0, len(refs[b]) - 80)
+        seqs.append(refs[a][pa : pa + 80] + refs[b][pb : pb + 80])
+    h = pipe.dispatch(seqs)
+    arr = np.asarray(h)
+    over_n = int(arr[2 * len(seqs):].reshape(-1, pipe.hist_cap + 1)[0, 0])
+    assert over_n > 1, "chimeric batch no longer exercises the overflow block"
+    mat = pipe._to_host(h)
+    assert mat.shape == (len(seqs), pipe.hist_cap + 1)
+    # byte-identical to the full layout over the chimeric batch
+    ref_pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
+                              compact_readback=False)
+    names = [b"c%d" % i for i in range(len(seqs))]
+    got = pipe.finalize_bytes(names, seqs, pipe.dispatch(seqs))
+    want = ref_pipe.finalize_bytes(names, seqs, ref_pipe.dispatch(seqs))
+    assert got == want
+    out = tmp_path / "cls_overflow.txt"
+    pipe.search_file(str(toy["reads"]), str(out))
+    assert out.read_bytes() == toy["golden_rc"]["classifications"].read_bytes()

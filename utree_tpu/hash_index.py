@@ -576,8 +576,18 @@ def displaced_buckets_np(cpre, chi, clo, nseed: int) -> np.ndarray:
 
 
 def displaced_nseed(ng: int) -> int:
-    """Seed-table size for ng entries: pow2 with lambda in (2, 4]."""
-    return max(4, 1 << int(np.ceil(np.log2(max(1, ng / 4)))))
+    """Seed-table size for ng entries: pow2 with lambda in (2, 4], but never
+    above 32MB while lambda stays placeable.
+
+    64MB seed tables sit above the measured v5e cache cliff: +1.45ns/probe
+    (tools/bench_seed2-style sweep, round 4: 64MB = 27.3ns, 32MB..4MB flat at
+    25.8-25.9ns, bare row gather 18.95ns).  Densifying to lambda <= 4.8 keeps
+    the table at <= 32MB through 161M entries, and applying the same density
+    before giving up raises the single-chip ceiling from 268M to ~322M."""
+    nseed = max(4, 1 << int(np.ceil(np.log2(max(1, ng / 4)))))
+    while nseed > (1 << 25) and ng / (nseed >> 1) <= 4.8:
+        nseed >>= 1
+    return nseed
 
 
 def place_displaced_core(

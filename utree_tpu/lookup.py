@@ -675,15 +675,12 @@ def search_step_hist(table: dict, reads_u8: jax.Array, lengths: jax.Array, *,
     )
 
 
-def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
-                            lengths: jax.Array, *,
-                            k: int, do_rc: bool, probe_iters: int, bad_ix: int,
-                            num_labels: int, cap: int = 16,
-                            true_len: int | None = None):
-    """2-bit-packed-input variant with a u16-packed output: (B, cap+1) int32
-    where col j<cap = (label+1) | count<<16 and col cap = nuniq | found<<5.
-    Requires window counts < 2^16 (reads < ~32Kb; longer reads take the
-    chunked long-read path) and num_labels < 2^16-1.
+def _packed_window_ix(table: dict, packed: jax.Array, vbits: jax.Array,
+                      lengths: jax.Array, *,
+                      k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                      num_labels: int, true_len: int | None):
+    """Shared front half of the packed-input steps: 2-bit-packed reads ->
+    per-window label ids (misses >= num_labels).
 
     true_len (static, multiple of 8, >= every row length) trims the window
     count to the batch's real maximum read length instead of the transfer
@@ -695,23 +692,78 @@ def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
     codes = base_codes_packed(packed, vbits, lengths)
     qpre, qhi, qlo, valid = extract_windows(codes, k)
     if "c1" in table or "d1" in table:  # canonical family: one probe, both strands
-        ix = _canonical_family_ix(table, qpre, qhi, qlo, valid,
-                                  bad_ix=bad_ix, do_rc=do_rc,
-                                  num_labels=num_labels)
-    else:
-        if do_rc:
-            if k != 32:
-                raise NotImplementedError("packed path implements k=32")
-            rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
-            qpre = jnp.concatenate([qpre, rpre], axis=1)
-            qhi = jnp.concatenate([qhi, rhi], axis=1)
-            qlo = jnp.concatenate([qlo, rlo], axis=1)
-            valid = jnp.concatenate([valid, valid], axis=1)
-        if "t1" in table:
-            ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
-        else:
-            ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+        return _canonical_family_ix(table, qpre, qhi, qlo, valid,
+                                    bad_ix=bad_ix, do_rc=do_rc,
+                                    num_labels=num_labels)
+    if do_rc:
+        if k != 32:
+            raise NotImplementedError("packed path implements k=32")
+        rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
+        qpre = jnp.concatenate([qpre, rpre], axis=1)
+        qhi = jnp.concatenate([qhi, rhi], axis=1)
+        qlo = jnp.concatenate([qlo, rlo], axis=1)
+        valid = jnp.concatenate([valid, valid], axis=1)
+    if "t1" in table:
+        return lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
+    return lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+
+
+def search_step_hist_packed(table: dict, packed: jax.Array, vbits: jax.Array,
+                            lengths: jax.Array, *,
+                            k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                            num_labels: int, cap: int = 16,
+                            true_len: int | None = None):
+    """2-bit-packed-input variant with a u16-packed output: (B, cap+1) int32
+    where col j<cap = (label+1) | count<<16 and col cap = nuniq | found<<5.
+    Requires window counts < 2^16 (reads < ~32Kb; longer reads take the
+    chunked long-read path) and num_labels < 2^16-1."""
+    ix = _packed_window_ix(table, packed, vbits, lengths, k=k, do_rc=do_rc,
+                           probe_iters=probe_iters, bad_ix=bad_ix,
+                           num_labels=num_labels, true_len=true_len)
     return pack_hist(ix, num_labels, cap)
+
+
+def search_step_hist_compact(table: dict, packed: jax.Array, vbits: jax.Array,
+                             lengths: jax.Array, *,
+                             k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                             num_labels: int, cap: int = 16, over_cap: int = 0,
+                             true_len: int | None = None):
+    """search_step_hist_packed with the COMPACT readback layout — the d2h
+    payload shrink (the tunnel reads back at ~1/4 of its h2d rate, so the
+    (B, cap+1) histogram matrix dominates end-to-end wall time; most reads
+    hit <= 1 label and need only 8 of its 36 bytes).
+
+    Returns ONE flat int32 vector of 2*B + (over_cap+1)*(cap+1) elements:
+      [0, 2B)   per-read pairs (tail, lc0): tail = nuniq | found<<5 exactly
+                as pack_hist's last column; lc0 = the first histogram slot
+                ((label+1) | count<<16) — the whole story for nuniq <= 1.
+      rest      an (over_cap+1, cap+1) overflow block: row 0 col 0 = n_over,
+                the TRUE count of reads with nuniq >= 2; rows 1..n_over are
+                (read_id, lc[0..cap-1]) for those reads in read order.
+    If n_over > over_cap the extra rows are dropped on device and the host
+    must redispatch the batch through the full (B, cap+1) layout — exactness
+    is never lost, the compact path just stops paying off for such batches
+    (pipeline.SearchPipeline._to_host handles this)."""
+    ix = _packed_window_ix(table, packed, vbits, lengths, k=k, do_rc=do_rc,
+                           probe_iters=probe_iters, bad_ix=bad_ix,
+                           num_labels=num_labels, true_len=true_len)
+    labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
+    lc = (labels + 1) | (counts << 16)
+    tail = nuniq | (found << 5)
+    b = lc.shape[0]
+    main = jnp.stack([tail, lc[:, 0]], axis=1)  # (B, 2)
+    flag = nuniq >= 2  # includes the cap+1 overflow sentinel
+    pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    n_over = jnp.sum(flag.astype(jnp.int32))
+    # rows beyond the block's capacity scatter out of bounds and are dropped;
+    # the header count still records the true total so the host can tell
+    dest = jnp.where(flag & (pos < over_cap), pos + 1, over_cap + 1)
+    rows = jnp.concatenate(
+        [jnp.arange(b, dtype=jnp.int32)[:, None], lc], axis=1)
+    over = jnp.zeros((over_cap + 1, cap + 1), jnp.int32)
+    over = over.at[dest].set(rows, mode="drop")
+    over = over.at[0, 0].set(n_over)
+    return jnp.concatenate([main.reshape(-1), over.reshape(-1)])
 
 
 def pack_hist(ix: jax.Array, num_labels: int, cap: int) -> jax.Array:
@@ -732,28 +784,9 @@ def search_step_hist_packed_in(table: dict, packed: jax.Array,
     (B, 2*cap+2 = [labels | counts | nuniq | found]) — the layout for
     IXTYPE=u32 DBs whose label ids do not fit the u16-packed output but
     whose reads still deserve the 2.7x-smaller transfer."""
-    if true_len is not None and true_len < packed.shape[1] * 4:
-        packed = packed[:, : true_len // 4]
-        vbits = vbits[:, : true_len // 8]
-    codes = base_codes_packed(packed, vbits, lengths)
-    qpre, qhi, qlo, valid = extract_windows(codes, k)
-    if "c1" in table or "d1" in table:  # canonical family: one probe, both strands
-        ix = _canonical_family_ix(table, qpre, qhi, qlo, valid,
-                                  bad_ix=bad_ix, do_rc=do_rc,
-                                  num_labels=num_labels)
-    else:
-        if do_rc:
-            if k != 32:
-                raise NotImplementedError("packed path implements k=32")
-            rpre, rhi, rlo = rc_word_lanes(qpre, qhi, qlo)
-            qpre = jnp.concatenate([qpre, rpre], axis=1)
-            qhi = jnp.concatenate([qhi, rhi], axis=1)
-            qlo = jnp.concatenate([qlo, rlo], axis=1)
-            valid = jnp.concatenate([valid, valid], axis=1)
-        if "t1" in table:
-            ix = lookup_kmers_hash(table, qpre, qhi, qlo, valid, slots=8, bad_ix=bad_ix)
-        else:
-            ix = lookup_kmers(table, qpre, qhi, qlo, valid, probe_iters, bad_ix)
+    ix = _packed_window_ix(table, packed, vbits, lengths, k=k, do_rc=do_rc,
+                           probe_iters=probe_iters, bad_ix=bad_ix,
+                           num_labels=num_labels, true_len=true_len)
     labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
     return jnp.concatenate(
         [labels, counts, nuniq[:, None], found[:, None]], axis=1)
