@@ -225,3 +225,99 @@ def test_build_log_identical(xtoy, tmp_path):
         write_build_log(db, str(tmp_path / f"ours{comp}.log"))
         assert (tmp_path / f"ours{comp}.log").read_bytes() == \
             (tmp_path / f"gold{comp}.log").read_bytes(), f"comp={comp}"
+
+
+def test_native_scan_equals_numpy_spec():
+    """The C++ scan engine (native/xtree.cpp) must emit exactly the NumPy
+    spec twin's (qid, prefix, seed) triples — random queries with ambiguous
+    bases, short reads, and empty queries included."""
+    import numpy as np
+
+    from utree_tpu.native import xt_scan_hits, xtree_lib
+
+    lib = xtree_lib()
+    assert lib is not None, "native xtree engine failed to compile"
+    import os
+    import tempfile
+
+    from utree_tpu.testdata import make_toy_db
+    from utree_tpu.xtree.align import XtreeAligner
+    from utree_tpu.xtree.build import build_xtree_db
+
+    wd = tempfile.mkdtemp(prefix="xt_native_")
+    refs, taxmap = os.path.join(wd, "r.fa"), os.path.join(wd, "t.map")
+    make_toy_db(refs, taxmap, num_refs=8, ref_len=4000, seed=31)
+    db = build_xtree_db(refs, taxmap, k=29, comp=0)
+    al = XtreeAligner(db)
+    rng = np.random.default_rng(32)
+    ref_seqs = []
+    with open(refs, "rb") as f:
+        for line in f:
+            if not line.startswith(b">"):
+                ref_seqs.append(line.strip())
+    seqs = []
+    for i in range(300):
+        src = ref_seqs[int(rng.integers(len(ref_seqs)))]
+        ln = int(rng.integers(5, 200))
+        p = int(rng.integers(0, max(1, len(src) - ln)))
+        s = bytearray(src[p : p + ln])
+        for j in range(len(s)):
+            if rng.random() < 0.03:
+                s[j] = int(rng.choice(np.frombuffer(b"ACGTNnacgt@", np.uint8)))
+        seqs.append(bytes(s))
+    seqs += [b"", b"A" * 28, b"N" * 50]
+    want = al._batch_hits(seqs)
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    got = xt_scan_hits(lib, b"".join(seqs), offsets, al.k, al.pl,
+                       al.bins, al.sfx)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_native_tallies_equal_numpy_spec(tmp_path):
+    """xt_ref_tally / xt_h_tally (C++) must reproduce the NumPy spec twins'
+    CSRs, insertion keys, and max/max2/argmax exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from utree_tpu.native import xtree_lib
+    from utree_tpu.testdata import make_toy_db, make_toy_reads
+    from utree_tpu.xtree.align import XtreeAligner
+    from utree_tpu.xtree.build import build_xtree_db
+
+    lib = xtree_lib()
+    assert lib is not None
+    wd = tempfile.mkdtemp(prefix="xt_tally_")
+    refs, taxmap, reads = [os.path.join(wd, f) for f in
+                           ("r.fa", "t.map", "q.fa")]
+    recs = make_toy_db(refs, taxmap, num_refs=10, ref_len=3000, seed=41,
+                       num_lineages=3)
+    make_toy_reads(reads, recs, num_reads=400, read_len=90, seed=42,
+                   mutate_prob=0.05, random_frac=0.2)
+    db = build_xtree_db(refs, taxmap, k=29, comp=0)
+    al = XtreeAligner(db)
+    from utree_tpu.io.fasta import iter_fasta_records
+
+    seqs = [s for _, s in iter_fasta_records(reads)]
+    Q = len(seqs)
+    qid_h, pres_h, seeds_h = al._batch_hits(seqs)
+    nat_lib, al._xt_lib = al._xt_lib, None  # numpy spec
+    mxn, mx2n, mixn, rtn = al._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
+    hn = [al._batch_h_tally(qid_h, pres_h, seeds_h, al.h_pairs[0],
+                            al.n_uniq_h[0], Q, lbin=lb)
+          for lb in [None] + list(al.lbins[0][:3])]
+    al._xt_lib = nat_lib
+    mxc, mx2c, mixc, rtc = al._batch_ref_tally_native(qid_h, pres_h, seeds_h, Q)
+    hc = [al._batch_h_tally(qid_h, pres_h, seeds_h, al.h_pairs[0],
+                            al.n_uniq_h[0], Q, lbin=lb)
+          for lb in [None] + list(al.lbins[0][:3])]
+    assert np.array_equal(mxn, mxc) and np.array_equal(mx2n, mx2c)
+    assert np.array_equal(mixn, mixc)
+    for f in ("qu", "rxu", "counts", "first", "uniq"):
+        assert np.array_equal(getattr(rtn, f), getattr(rtc, f)), f
+    for a, b in zip(hn, hc):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)

@@ -336,3 +336,132 @@ class VoteEngine:
             if wrote < 0:
                 raise RuntimeError(f"utree_vote_packed error {wrote}")
             return out.raw[:wrote]
+
+
+_xtree_lib = None
+_xtree_tried = False
+
+
+def xtree_lib():
+    """libutreextree handle (the ALIGN scan hot loop), or None."""
+    global _xtree_lib, _xtree_tried
+    if _xtree_tried:
+        return _xtree_lib
+    _xtree_tried = True
+    so = _compile("xtree.cpp", "libutreextree.so")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.xt_scan_hits.restype = None
+    lib.xt_scan_hits.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+    ]
+    _xtree_lib = lib
+    return lib
+
+
+def xt_scan_hits(lib, pool: bytes, offsets: np.ndarray, k: int, pl: int,
+                 bins: np.ndarray, sfx: np.ndarray):
+    """(qid, prefix, seed) hit triples for a query chunk, scan order —
+    the C++ twin of xtree.align.XtreeAligner._batch_hits."""
+    nq = len(offsets) - 1
+    lens = np.diff(offsets)
+    wn = np.maximum(lens - k + 1, 0)
+    qoff = np.zeros(nq + 1, np.int64)
+    np.cumsum(2 * wn, out=qoff[1:])
+    pre_out = np.empty(int(qoff[-1]), np.int64)
+    seed_out = np.empty(int(qoff[-1]), np.int64)
+    counts = np.zeros(nq, np.int64)
+    lib.xt_scan_hits(nq, pool, np.ascontiguousarray(offsets, np.int64),
+                     k, pl, bins, sfx, qoff, pre_out, seed_out, counts)
+    qid = np.repeat(np.arange(nq, dtype=np.int64), counts)
+    if int(counts.sum()) == int(qoff[-1]):
+        return qid, pre_out, seed_out
+    from utree_tpu.hash_index import _ranges_to_indices
+
+    nz = counts > 0  # _ranges_to_indices assumes nonempty ranges
+    idx = _ranges_to_indices(qoff[:-1][nz], counts[nz])
+    return qid, pre_out[idx], seed_out[idx]
+
+
+def _xt_register_tally(lib):
+    if getattr(lib, "_tally_registered", False):
+        return
+    I64 = np.ctypeslib.ndpointer(np.int64)
+    lib.xt_ref_tally.restype = None
+    lib.xt_ref_tally.argtypes = [I64, I64, I64, I64, I64, I64,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 I64, I64, I64, I64, I64, I64, I64, I64, I64]
+    lib.xt_h_tally.restype = None
+    lib.xt_h_tally.argtypes = [I64, I64, I64, I64, I64, I64,
+                               ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_int64,
+                               I64, I64, I64, I64, I64, I64]
+    lib.xt_tally_bounds.restype = None
+    lib.xt_tally_bounds.argtypes = [I64, I64, I64, I64, ctypes.c_int64,
+                                    I64, ctypes.c_int64, I64]
+    lib._tally_registered = True
+
+
+def _xt_spans(lib, qid, seed, pre, bins, run_end_ext, Q, cap_per_q):
+    """Per-query hit bounds + output upper-bound offsets for the tally
+    kernels: qstart from the qid-ascending hit order; qoff bounds distinct
+    outputs by min(expanded pods of q, cap_per_q) (computed in C)."""
+    qstart = np.searchsorted(qid, np.arange(Q + 1)).astype(np.int64)
+    qoff = np.zeros(Q + 1, np.int64)
+    lib.xt_tally_bounds(pre, seed, bins, run_end_ext, Q, qstart, cap_per_q,
+                        qoff[1:])
+    np.cumsum(qoff[1:], out=qoff[1:])
+    return qstart, qoff
+
+
+def xt_ref_tally(lib, qid, pre, seed, bins, run_end_ext, rix, Q, R):
+    """C++ twin of align.py:_batch_ref_tally's tally core.  Returns
+    (mx, mx2, mix, qu, rxu, counts, first, nd) with the CSR compacted and
+    sorted by (query, ref)."""
+    _xt_register_tally(lib)
+    qstart, qoff = _xt_spans(lib, qid, seed, pre, bins, run_end_ext, Q, R)
+    mx = np.zeros(Q, np.int64)
+    mx2 = np.zeros(Q, np.int64)
+    mix = np.zeros(Q, np.int64)
+    out_r = np.empty(int(qoff[-1]), np.int64)
+    out_c = np.empty(int(qoff[-1]), np.int64)
+    out_first = np.empty(int(qoff[-1]), np.int64)
+    nd = np.zeros(Q, np.int64)
+    lib.xt_ref_tally(qid, pre, seed, bins, run_end_ext, rix, Q, R,
+                     qstart, qoff, mx, mx2, mix, out_r, out_c, out_first, nd)
+    qu = np.repeat(np.arange(Q, dtype=np.int64), nd)
+    if int(nd.sum()) != int(qoff[-1]):
+        from utree_tpu.hash_index import _ranges_to_indices
+
+        nz = nd > 0
+        idx = _ranges_to_indices(qoff[:-1][nz], nd[nz])
+        out_r, out_c, out_first = out_r[idx], out_c[idx], out_first[idx]
+    return mx, mx2, mix, qu, out_r, out_c, out_first, nd
+
+
+def xt_h_tally(lib, qid, pre, seed, bins, run_end_ext, rix, hmap, Hn, Q,
+               lbin=None):
+    """C++ twin of align.py:_batch_h_tally: (q2, h2, c2, ins2) CSR."""
+    _xt_register_tally(lib)
+    qstart, qoff = _xt_spans(lib, qid, seed, pre, bins, run_end_ext, Q, Hn)
+    out_h = np.empty(int(qoff[-1]), np.int64)
+    out_c = np.empty(int(qoff[-1]), np.int64)
+    out_ins = np.empty(int(qoff[-1]), np.int64)
+    nd = np.zeros(Q, np.int64)
+    lb = lbin.ctypes.data_as(ctypes.c_void_p) if lbin is not None else None
+    lib.xt_h_tally(pre, seed, bins, run_end_ext, rix, hmap, lb, Q, Hn,
+                   qstart, qoff, out_h, out_c, out_ins, nd)
+    q2 = np.repeat(np.arange(Q, dtype=np.int64), nd)
+    if int(nd.sum()) != int(qoff[-1]):
+        from utree_tpu.hash_index import _ranges_to_indices
+
+        nz = nd > 0
+        idx = _ranges_to_indices(qoff[:-1][nz], nd[nz])
+        out_h, out_c, out_ins = out_h[idx], out_c[idx], out_ins[idx]
+    return q2, out_h, out_c, out_ins

@@ -128,6 +128,13 @@ class XtreeAligner:
 
             self._dev_index = build_xtree_device_index(db, self.sfx, self.bins)
             self._dev_step = make_device_step(self._dev_index)
+        # C++ engine (native/xtree.cpp): scan twin of _batch_hits (device
+        # front end replaces it when use_device) and tally twins of
+        # _batch_ref_tally/_batch_h_tally (used in both modes); NumPy stays
+        # the spec twin + fallback
+        from utree_tpu.native import xtree_lib
+
+        self._xt_lib = xtree_lib()
 
     # ---- k-mer matching (vectorized; both strands at every valid window) ----
 
@@ -350,6 +357,25 @@ class XtreeAligner:
         mx2 = np.where(s1 - s0 >= 2, csorted[i1], 0)
         return mx, mx2, widx
 
+    def _batch_ref_tally_native(self, qid_h, pres_h, seeds_h, Q):
+        """C++ _batch_ref_tally (native/xtree.cpp): same contract minus the
+        flat expansion arrays (sid/j/rx), which only the coverage pass needs
+        — cov_out keeps the NumPy path."""
+        from utree_tpu.native import xt_ref_tally
+
+        R = self.db.num_refs
+        mx, mx2, mix, qu, rxu, counts, first, _nd = xt_ref_tally(
+            self._xt_lib, qid_h, pres_h, seeds_h, self.bins,
+            self.run_end_ext, self.rix, Q, R)
+
+        class RT:
+            pass
+
+        rt = RT()
+        rt.R, rt.qu, rt.rxu, rt.counts, rt.first = R, qu, rxu, counts, first
+        rt.uniq = qu * R + rxu
+        return mx, mx2, mix, rt
+
     def _batch_ref_tally(self, qid_h, pres_h, seeds_h, Q):
         """Vectorized _ref_tally + _max2.  Returns (mx, mx2, mix, rt) where
         rt holds the per-(query, ref) CSR (sorted by key), the insertion-order
@@ -380,6 +406,14 @@ class XtreeAligner:
         (query, taxon) with per-seed-entry dedupe.  Returns (q2, h2, c2,
         ins2) where ins2 is the global first-encounter flat index — the dict
         insertion-order key."""
+        if self._xt_lib is not None:
+            from utree_tpu.native import xt_h_tally
+
+            return xt_h_tally(
+                self._xt_lib, qid_h, pres_h, seeds_h, self.bins,
+                self.run_end_ext, self.rix,
+                np.ascontiguousarray(hmap, np.int64), Hn, Q,
+                None if lbin is None else np.ascontiguousarray(lbin, np.int64))
         sid, off, j = self._expand(seeds_h, pres_h)
         h = hmap[self.rix[j]]
         if lbin is not None:
@@ -530,11 +564,24 @@ class XtreeAligner:
         Q = len(seqs)
         nuh = self.n_uniq_h
         conf = opts.confidence
-        qid_h, pres_h, seeds_h = (
-            self._batch_hits_device(seqs) if self._dev_step is not None
-            else self._batch_hits(seqs))
+        if self._dev_step is not None:
+            qid_h, pres_h, seeds_h = self._batch_hits_device(seqs)
+        elif self._xt_lib is not None:
+            from utree_tpu.native import xt_scan_hits
+
+            offsets = np.zeros(Q + 1, np.int64)
+            np.cumsum([len(s) for s in seqs], out=offsets[1:])
+            qid_h, pres_h, seeds_h = xt_scan_hits(
+                self._xt_lib, b"".join(seqs), offsets, self.k, self.pl,
+                self.bins, self.sfx)
+        else:
+            qid_h, pres_h, seeds_h = self._batch_hits(seqs)
         tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
-        mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
+        if self._xt_lib is not None and not opts.cov_out:
+            mx, mx2, mix, rt = self._batch_ref_tally_native(
+                qid_h, pres_h, seeds_h, Q)
+        else:
+            mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
         matched = (tix > 0) & (mix != -1) & (mx >= opts.n_uniq_matches)
 
         if opts.cov_out:
