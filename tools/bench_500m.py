@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--kmers", type=int, default=500_000_000)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--fast-lambda", action="store_true",
+                    help="place at seed-bucket lambda ~2.2 instead of the "
+                         "32MB-capped default ~4.5: ~2x faster placement, "
+                         "bigger per-shard seed tables (both exact — the "
+                         "probe reads the stored seeds)")
     a = ap.parse_args()
 
     import jax
@@ -70,7 +75,10 @@ def main():
     print(f"index: {len(sw):,} kmers in {t_index:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    sharded = ShardedDisplacedIndex.build(index, a.shards)
+    nseed = None
+    if a.fast_lambda:
+        nseed = max(4, 1 << int(np.ceil(np.log2(max(1, len(sw) / 4)))))
+    sharded = ShardedDisplacedIndex.build(index, a.shards, nseed=nseed)
     t_place = time.perf_counter() - t0
     spill = 0
     if sharded.t3.shape[0] > 8:

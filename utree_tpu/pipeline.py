@@ -499,7 +499,11 @@ class SearchPipeline:
             else:
                 arr = arr[:, :-1]
         elif self._compact and arr.ndim == 1:
-            arr = self._decompact(handles, arr)
+            if self.tracer is not None:
+                with self.tracer.phase("drain:unpack"):
+                    arr = self._decompact(handles, arr)
+            else:
+                arr = self._decompact(handles, arr)
         return arr
 
     def _decompact(self, handles, arr: np.ndarray) -> np.ndarray:
@@ -644,6 +648,11 @@ class SearchPipeline:
             over_offsets[j + 1] = over_offsets[j] + len(nz)
         over_labels = np.concatenate(ols) if ols else np.zeros(0, np.int32)
         over_counts = np.concatenate(ocs) if ocs else np.zeros(0, np.int32)
+        if self.tracer is not None:
+            with self.tracer.phase("drain:vote"):
+                return self._vote_engine.vote_packed(
+                    count, name_pool, name_offsets, u[:count], cap,
+                    over, over_offsets, over_labels, over_counts)
         return self._vote_engine.vote_packed(
             count, name_pool, name_offsets, u[:count], cap,
             over, over_offsets, over_labels, over_counts)
