@@ -48,7 +48,7 @@ def main():
     ubt = os.path.join(wd, "db.ubt")
     ctr = os.path.join(wd, "db.ctr")
     t0 = time.perf_counter()
-    res = build_database(refs, taxmap, cfg, gg=False)
+    res = build_database(refs, taxmap, cfg, do_gg=False)
     write_ubt(ubt, res.words, res.ixs, res.labels.strings, cfg)
     write_ctr_from_ubt(ubt, ctr, cfg)
     print(f"build: {time.perf_counter() - t0:.1f}s ({len(res.words):,} nodes)")
