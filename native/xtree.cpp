@@ -105,6 +105,8 @@ void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* off,
 
 #include <algorithm>
 #include <cstddef>
+#include <cstdio>
+#include <cstring>
 #include <vector>
 
 extern "C" {
@@ -272,6 +274,81 @@ void xt_h_tally(const int64_t* pre, const int64_t* seed,
             nd[q] = (int64_t)touched.size();
         }
     }
+}
+
+// Per-query perq output formatting (xtree.c:1344-1396's per-query print,
+// batch form of align.py:_align_chunk's Python tail — the cProfile'd ~25%
+// of host-mode ALIGN).  Lines are joined by '\n' with NO trailing newline,
+// so the caller's `write(blob + "\n")` is byte-identical to writing each
+// line + "\n".  Returns bytes written, or -1 if cap is too small (caller
+// retries with a bigger buffer, the vote.cpp protocol).
+int64_t xt_format_perq(int64_t Q,
+                       const uint8_t* head_pool, const int64_t* head_off,
+                       const uint8_t* rn_pool, const int64_t* rn_off,
+                       const uint8_t* h0_pool, const int64_t* h0_off,
+                       const uint8_t* h1_pool, const int64_t* h1_off,
+                       const uint8_t* matched,
+                       const int64_t* mixv, const int64_t* mx,
+                       const int64_t* mx2, const int64_t* tix,
+                       const int64_t* ft_ix, const int64_t* ft_lv,
+                       uint8_t* out, int64_t cap) {
+    static const char NOMATCH[] = "\tNo matches found";
+    int64_t o = 0;
+    for (int64_t q = 0; q < Q; q++) {
+        if (q) {
+            if (o + 1 > cap) return -1;
+            out[o++] = '\n';
+        }
+        const int64_t hl = head_off[q + 1] - head_off[q];
+        if (o + hl > cap) return -1;
+        std::copy(head_pool + head_off[q], head_pool + head_off[q + 1],
+                  out + o);
+        o += hl;
+        if (!matched[q]) {
+            if (o + (int64_t)sizeof(NOMATCH) > cap) return -1;
+            std::copy(NOMATCH, NOMATCH + sizeof(NOMATCH) - 1, out + o);
+            o += sizeof(NOMATCH) - 1;
+            continue;
+        }
+        const int64_t r = mixv[q];
+        const int64_t rl = rn_off[r + 1] - rn_off[r];
+        if (o + rl + 49 > cap) return -1;
+        out[o++] = '\t';
+        std::copy(rn_pool + rn_off[r], rn_pool + rn_off[r + 1], out + o);
+        o += rl;
+        o += snprintf((char*)out + o, 48, "\t[%lld,%lld]\t",
+                      (long long)mx[q], (long long)mx2[q]);
+        for (int h = 0; h < 2; h++) {
+            const uint8_t* pool = h ? h1_pool : h0_pool;
+            const int64_t* off = h ? h1_off : h0_off;
+            const int64_t ix = ft_ix[2 * q + h];
+            if (ix >= 0) {
+                const uint8_t* s = pool + off[ix];
+                int64_t sl = off[ix + 1] - off[ix];
+                const int64_t lv = ft_lv[2 * q + h];
+                if (lv > 0) {
+                    // exact twin of the Python `p = s.find(b";", p + 1)`
+                    // loop: a failed find restarts the next scan at offset 0
+                    int64_t p = -1;
+                    for (int64_t t = 0; t < lv; t++) {
+                        const uint8_t* hit = (const uint8_t*)memchr(
+                            s + (p + 1), ';', (size_t)(sl - (p + 1)));
+                        p = hit ? (int64_t)(hit - s) : -1;
+                    }
+                    if (p >= 0) sl = p;
+                }
+                if (o + sl + 1 > cap) return -1;
+                std::copy(s, s + sl, out + o);
+                o += sl;
+            } else if (o + 1 > cap) {
+                return -1;
+            }
+            out[o++] = '\t';
+        }
+        if (o + 24 > cap) return -1;
+        o += snprintf((char*)out + o, 24, "%lld", (long long)tix[q]);
+    }
+    return o;
 }
 
 }  // extern "C"

@@ -445,6 +445,68 @@ def xt_ref_tally(lib, qid, pre, seed, bins, run_end_ext, rix, Q, R):
     return mx, mx2, mix, qu, out_r, out_c, out_first, nd
 
 
+class StringPool:
+    """Concatenated byte-string table + offsets for C consumption."""
+
+    def __init__(self, strings: list[bytes]):
+        self.pool = b"".join(strings)
+        off = np.zeros(len(strings) + 1, np.int64)
+        np.cumsum([len(s) for s in strings], out=off[1:])
+        self.off = off
+        self.max_len = int(np.diff(off).max()) if len(strings) else 0
+
+
+def _xt_register_perq(lib):
+    if getattr(lib, "_perq_registered", False):
+        return
+    I64 = np.ctypeslib.ndpointer(np.int64)
+    lib.xt_format_perq.restype = ctypes.c_int64
+    lib.xt_format_perq.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_char_p, I64,  # heads
+        ctypes.c_char_p, I64,  # ref names
+        ctypes.c_char_p, I64,  # h_strings[0]
+        ctypes.c_char_p, I64,  # h_strings[1]
+        np.ctypeslib.ndpointer(np.uint8),
+        I64, I64, I64, I64,    # mix, mx, mx2, tix
+        I64, I64,              # ft_ix, ft_lv (Q,2) row-major
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib._perq_registered = True
+
+
+def xt_format_perq(lib, heads: list[bytes], pools, matched, mix, mx, mx2,
+                   tix, ft_ix, ft_lv) -> bytes:
+    """Chunk perq lines, '\\n'-joined with no trailing newline — byte twin of
+    align.py:_align_chunk's per-query formatting tail.  `pools` = (ref_names,
+    h_strings[0], h_strings[1]) StringPools."""
+    _xt_register_perq(lib)
+    Q = len(heads)
+    head_off = np.zeros(Q + 1, np.int64)
+    np.cumsum([len(h) for h in heads], out=head_off[1:])
+    head_pool = b"".join(heads)
+    rn, h0, h1 = pools
+    nmatch = int(np.count_nonzero(matched))
+    cap = (len(head_pool) + 75 * Q + 8
+           + nmatch * (rn.max_len + h0.max_len + h1.max_len))
+    i64 = lambda a: np.ascontiguousarray(a, np.int64)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        wrote = lib.xt_format_perq(
+            Q, head_pool, head_off,
+            rn.pool, rn.off, h0.pool, h0.off, h1.pool, h1.off,
+            np.ascontiguousarray(matched, np.uint8),
+            i64(mix), i64(mx), i64(mx2), i64(tix),
+            i64(ft_ix).reshape(-1), i64(ft_lv).reshape(-1),
+            out, cap)
+        if wrote == -1:
+            cap *= 4
+            continue
+        if wrote < 0:
+            raise RuntimeError(f"xt_format_perq error {wrote}")
+        return out.raw[:wrote]
+
+
 def xt_h_tally(lib, qid, pre, seed, bins, run_end_ext, rix, hmap, Hn, Q,
                lbin=None):
     """C++ twin of align.py:_batch_h_tally: (q2, h2, c2, ins2) CSR."""

@@ -135,6 +135,17 @@ class XtreeAligner:
         from utree_tpu.native import xtree_lib
 
         self._xt_lib = xtree_lib()
+        self._pq_pools = None
+
+    def _perq_pools(self):
+        """StringPools for the native perq formatter (built once per DB)."""
+        if self._pq_pools is None:
+            from utree_tpu.native import StringPool
+
+            self._pq_pools = (StringPool(self.db.ref_names),
+                              StringPool(self.h_strings[0]),
+                              StringPool(self.h_strings[1]))
+        return self._pq_pools
 
     # ---- k-mer matching (vectorized; both strands at every valid window) ----
 
@@ -655,6 +666,21 @@ class XtreeAligner:
                                        Q, tix, conf, mb, ft_ix, ft_lv, opts)
 
         # ---- per-query output/bookkeeping (O(1) each) ----
+        if self._xt_lib is not None and not opts.do_redist:
+            # batch tail: the results rows ARE mb's rows (unmatched queries
+            # stay [-1,-1,-1], exactly what the scalar loop appends), and the
+            # perq lines format natively (native/xtree.cpp:xt_format_perq —
+            # the blob joins lines with '\n' so _write_outputs' `blob + "\n"`
+            # is byte-identical to per-line writes).  cbins stays empty:
+            # it is only consumed under do_redist, which takes the loop below.
+            results.extend(mb.tolist())
+            if perq_lines is not None:
+                from utree_tpu.native import xt_format_perq
+
+                perq_lines.append(xt_format_perq(
+                    self._xt_lib, heads, self._perq_pools(),
+                    matched, mix, mx, mx2, tix, ft_ix, ft_lv))
+            return
         for q in range(Q):
             if not matched[q]:
                 if perq_lines is not None:
