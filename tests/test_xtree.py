@@ -104,6 +104,7 @@ def test_fastq_gz_queries(xtoy, tmp_path):
 @pytest.mark.parametrize("conf,full_lca,redist", [
     (0.33, True, False),
     (0.95, True, True),   # high confidence forces the deep/aufbau paths
+    (0.95, True, False),  # aufbau + the native formatting tail (lv>0 cuts)
     (0.95, False, False),  # shallow early-exit branch
     (0.0, True, True),     # ag_thres = 0 edge (loop runs to the level cap)
 ])
