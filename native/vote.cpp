@@ -103,7 +103,19 @@ void aufbau_walk(TaxCnt* tc, uint32_t uix, uint32_t found_uniq, uint32_t taxacut
   *ol_out = ol;
 }
 
+// Stack-resident histogram size for the common case; wider histograms (e.g. a
+// 16Mb query hitting thousands of labels) grow onto the heap instead of
+// failing — the reference sizes its Tax_Cnt to the full label count
+// (itree.c:1012-1015), so no width may be a hard error here.
 constexpr int MAX_U = 4096;
+
+// Returns a TaxCnt span of at least `nu` entries: the caller's fixed buffer
+// when it fits, else heap storage owned by `big`.
+TaxCnt* tc_span(TaxCnt* fixed, std::vector<TaxCnt>& big, int64_t nu) {
+  if (nu <= MAX_U) return fixed;
+  if ((int64_t)big.size() < nu) big.resize((size_t)nu);
+  return big.data();
+}
 
 // Format one read's line from its (string, count) histogram entries (tc, in
 // device emission order — the fast paths depend on the FIRST entry).  Returns
@@ -152,7 +164,8 @@ int64_t utree_vote_batch(
     int32_t taxacut,
     char* out_buf,
     int64_t out_cap) {
-  TaxCnt tc[MAX_U];
+  TaxCnt tc_fixed[MAX_U];
+  std::vector<TaxCnt> tc_big;
   char* out = out_buf;
   char* out_end = out_buf + out_cap;
 
@@ -160,7 +173,7 @@ int64_t utree_vote_batch(
     int64_t lo = hist_offsets[r], hi = hist_offsets[r + 1];
     int64_t nu = hi - lo;
     if (nu == 0) continue;
-    if (nu > MAX_U) return -2;
+    TaxCnt* tc = tc_span(tc_fixed, tc_big, nu);
     for (int64_t i = lo; i < hi; ++i) {
       tc[i - lo] = {string_pool + string_offsets[labels[i]], (uint32_t)counts[i]};
     }
@@ -180,7 +193,8 @@ int64_t utree_vote_batch(
 // entries (over_rows ascending) — the caller recomputes those exactly on
 // host (device cap overflow, same contract as the Python path).
 // Returns bytes written, -1 if out_cap is too small (caller grows + retries),
-// -2 on an override histogram wider than MAX_U, -3 on an unprovided overflow.
+// -3 on an unprovided overflow.  Override histograms of any width are
+// accepted (heap growth past MAX_U entries).
 int64_t utree_vote_packed(
     int64_t n_reads,
     const uint32_t* packed,
@@ -204,7 +218,8 @@ int64_t utree_vote_packed(
   int err = 0;
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t c = 0; c < n_chunks; ++c) {
-    TaxCnt tc[MAX_U];
+    TaxCnt tc_fixed[MAX_U];
+    std::vector<TaxCnt> tc_big;
     char line[1 << 17];
     std::string& part = parts[(size_t)c];
     const int64_t lo_r = c * CHUNK;
@@ -214,11 +229,12 @@ int64_t utree_vote_packed(
     for (int64_t r = lo_r; r < hi_r; ++r) {
       const uint32_t* row = packed + r * stride;
       int64_t nu;
+      TaxCnt* tc = tc_fixed;
       if (oi < n_over && over_rows[oi] == r) {
         const int64_t a = over_offsets[oi], b = over_offsets[oi + 1];
         ++oi;
         nu = b - a;
-        if (nu > MAX_U) { err = 2; break; }
+        tc = tc_span(tc_fixed, tc_big, nu);
         for (int64_t i = a; i < b; ++i)
           tc[i - a] = {string_pool + string_offsets[over_labels[i]],
                        (uint32_t)over_counts[i]};

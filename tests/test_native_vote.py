@@ -72,6 +72,40 @@ def test_native_batch_order_and_skips(engine_strings):
     assert lines[0] == py0
 
 
+def test_native_vote_wider_than_stack_buffer():
+    """Histograms wider than the C++ stack buffer (4096 entries) must grow
+    onto the heap, not crash — the reference sizes its Tax_Cnt to the full
+    label count (itree.c:1012-1015), so e.g. a 16Mb query hitting thousands
+    of labels is a legal input.  Exercises both the CSR entry point and the
+    packed entry point's override path."""
+    rng = np.random.default_rng(42)
+    n_wide = 5000  # > MAX_U = 4096
+    strings = [b"k__a;p__b;c__c;o__d;f__e;g__g%d;s__s%d" % (i % 211, i)
+               for i in range(n_wide)]
+    eng = VoteEngine(strings, taxacut=4)
+    if not eng.available:
+        pytest.skip("native vote lib unavailable")
+    ids = np.arange(n_wide, dtype=np.int32)
+    cnts = rng.integers(1, 9, size=n_wide).astype(np.int32)
+    py = aufbau_vote_counts(b"wide", ids, cnts, strings, 4)
+    expected = (py + b"\n") if py is not None else b""
+
+    offs = np.array([0, n_wide], np.int64)
+    assert eng.vote_batch([b"wide"], offs, ids, cnts) == expected
+
+    # packed path: one row whose nuniq exceeds the device cap, provided as an
+    # override CSR (the cap-overflow contract)
+    cap_cols = 8
+    packed = np.zeros((1, cap_cols + 1), np.uint32)
+    packed[0, cap_cols] = 31  # nuniq lane saturated: row must come via override
+    out = eng.vote_packed(
+        1, b"wide\x00", np.array([0], np.int64), packed, cap_cols,
+        over_rows=np.array([0], np.int64),
+        over_offsets=np.array([0, n_wide], np.int64),
+        over_labels=ids, over_counts=cnts)
+    assert out == expected
+
+
 def test_native_pack_2bit_bit_identical():
     """C++ 2-bit packer must produce exactly pack_reads_host's buffers."""
     import numpy as np
