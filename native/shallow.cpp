@@ -13,6 +13,9 @@
 // The PACKSIZE=64 path stays in Python (rare, and host-bound anyway).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
 
 namespace {
 
@@ -121,6 +124,127 @@ void utree_shallow_scan_batch(
         sparsity, word_bits, max_ix, codes + offsets[r],
         offsets[r + 1] - offsets[r], hits_out + hit_offsets[r]);
   }
+}
+
+// Fused shallow search: FASTA records -> output lines in one call.
+//
+// The reference's rank-specific driver interleaves scan and vote per read
+// (itree.c:969-1007); our previous split (native scan, Python vote +
+// formatting) left ~38% of the single-core wall in the Python tail
+// (VERDICT r4 item 4).  This entry does the whole per-read pipeline in C:
+//   1. encode each record's sequence (+ 'N' + revcomp when do_rc), parallel;
+//   2. run the literal word state machine per read (utree_shallow_scan),
+//      parallel across reads;
+//   3. replay XT_SHALLOWVOTE sequentially IN READ ORDER over the persistent
+//      `vote_buffer` — sequential because the reference's `if (!kingsMen++)`
+//      post-increment bug (itree.c:982) makes each vote read ONE slot past
+//      its own hits, i.e. a slot holding the PREVIOUS read's value (or 0 on
+//      fresh pages).  The caller zero-inits vote_buffer once per file and
+//      passes it back every batch, so batch boundaries are invisible;
+//   4. printf-format accepted lines ("%s\t%s\t%f\t%lld\n", the reference's
+//      own format at itree.c:1000) into `out`.
+//
+// recs: int64 quads from utree_scan_fasta (name start/end, seq start/end).
+// label_offsets: num_labels+1 offsets into label_pool (no terminators).
+// Returns bytes written to out; -1 out too small; -3 vote_cap too small.
+int64_t utree_shallow_classify_batch(
+    const int64_t* bin_ix, const uint64_t* s_lo, const int64_t* ixs,
+    int64_t suffix_bits, uint64_t suffix_mask, int64_t bad_ix,
+    int64_t packsize, int64_t sparsity, int64_t word_bits, int64_t max_ix,
+    const char* data, const int64_t* recs, int64_t first, int64_t count,
+    int64_t do_rc, const char* label_pool, const int64_t* label_offsets,
+    int64_t tolerance, int64_t slack, int64_t* vote_buffer, int64_t vote_cap,
+    char* out, int64_t out_cap) {
+  // encode tables: C2Xb (itree.c:110-121) and its complement twin — the RC
+  // append maps non-ACGT to 'N' (itree.c:838-841), which encodes invalid,
+  // so comp[] = 3 - code for bases, invalid otherwise.
+  struct Enc {
+    uint8_t code[256];
+    uint8_t comp[256];
+    Enc() {
+      memset(code, kInvalid, sizeof(code));
+      memset(comp, kInvalid, sizeof(comp));
+      const char* b = "AaCcGgTt";
+      for (int i = 0; i < 8; ++i) {
+        code[(uint8_t)b[i]] = (uint8_t)(i / 2);
+        comp[(uint8_t)b[i]] = (uint8_t)(3 - i / 2);
+      }
+    }
+  };
+  static const Enc enc;
+
+  // per-read extended lengths + prefix offsets
+  std::vector<int64_t> off(count + 1), hoff(count + 1);
+  off[0] = hoff[0] = 0;
+  for (int64_t r = 0; r < count; ++r) {
+    const int64_t* q = recs + (first + r) * 4;
+    const int64_t slen = q[3] - q[2];
+    const int64_t ext = do_rc ? 2 * slen + 1 : slen;
+    off[r + 1] = off[r] + ext;
+    const int64_t wins = ext - (packsize - 1);
+    hoff[r + 1] = hoff[r] + (wins > 0 ? wins : 0);
+  }
+  std::vector<uint8_t> codes(off[count] ? off[count] : 1);
+  std::vector<int64_t> hits(hoff[count] ? hoff[count] : 1);
+  std::vector<int64_t> counts(count ? count : 1, 0);
+
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t r = 0; r < count; ++r) {
+    const int64_t* q = recs + (first + r) * 4;
+    const char* s = data + q[2];
+    const int64_t slen = q[3] - q[2];
+    uint8_t* c = codes.data() + off[r];
+    for (int64_t j = 0; j < slen; ++j) c[j] = enc.code[(uint8_t)s[j]];
+    if (do_rc) {
+      c[slen] = kInvalid;  // the 'N' spacer (itree.c:891-897)
+      for (int64_t j = 0; j < slen; ++j)
+        c[slen + 1 + j] = enc.comp[(uint8_t)s[slen - 1 - j]];
+    }
+    counts[r] = utree_shallow_scan(
+        bin_ix, s_lo, ixs, suffix_bits, suffix_mask, bad_ix, packsize,
+        sparsity, word_bits, max_ix, c, off[r + 1] - off[r],
+        hits.data() + hoff[r]);
+  }
+
+  // sequential vote + format (XT_SHALLOWVOTE, itree.c:969-1006)
+  std::vector<int64_t> tally(max_ix > 0 ? max_ix : 1, 0);
+  int64_t used = 0;
+  for (int64_t r = 0; r < count; ++r) {
+    const int64_t n = counts[r];
+    if (n == 0) continue;
+    if (n + 1 > vote_cap) return -3;
+    const int64_t* h = hits.data() + hoff[r];
+    for (int64_t i = 0; i < n; ++i) vote_buffer[i] = h[i];
+    const int64_t km = n + 1;  // the post-increment phantom slot
+    for (int64_t i = 0; i < km; ++i) ++tally[vote_buffer[i]];
+    int64_t most = 0, second = 0, most_ix = 0;
+    for (int64_t i = 0; i < km; ++i) {
+      const int64_t ix = vote_buffer[i];
+      const int64_t c = tally[ix];
+      if (c > most) {
+        second = most;
+        most_ix = ix;
+        most = c;
+      } else if (c > second) {
+        second = c;
+      }
+      tally[ix] = 0;  // Hashes zeroed as read (itree.c:996)
+    }
+    if (most < tolerance || most < slack * second) continue;
+    const double conf = 1.0 - (double)second / (double)most;
+    const int64_t* q = recs + (first + r) * 4;
+    const int64_t nlen = q[1] - q[0];
+    const int64_t llen = label_offsets[most_ix + 1] - label_offsets[most_ix];
+    if (used + nlen + llen + 40 > out_cap) return -1;
+    memcpy(out + used, data + q[0], nlen);
+    used += nlen;
+    out[used++] = '\t';
+    memcpy(out + used, label_pool + label_offsets[most_ix], llen);
+    used += llen;
+    used += snprintf(out + used, (size_t)(out_cap - used), "\t%f\t%lld\n",
+                     conf, (long long)most);
+  }
+  return used;
 }
 
 }  // extern "C"

@@ -102,8 +102,64 @@ def shallow_lib():
         np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.utree_shallow_classify_batch.restype = ctypes.c_int64
+    lib.utree_shallow_classify_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.uint64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
     _shallow_lib = lib
     return lib
+
+
+def shallow_classify_file(index, reads_path: str, out_path: str,
+                          do_rc: bool, chunk: int = 65536) -> int:
+    """Whole-file shallow search with zero per-read Python: native FASTA
+    scan + fused scan/vote/format batches (utree_shallow_classify_batch).
+    Raises ValueError if the file is not linearized FASTA (caller falls
+    back to the Python-driver path)."""
+    lib = shallow_lib()
+    cfg = index.config
+    with open(reads_path, "rb") as f:
+        data = f.read()
+    sc = FastaScanner(data)
+    n = sc.num_records
+    recs_flat = np.ascontiguousarray(sc.recs.reshape(-1))
+    seq_lens = sc.seq_lengths()
+    ext = 2 * seq_lens + 1 if do_rc else seq_lens
+    max_wins = int(max(0, int((ext - (cfg.packsize - 1)).max()))) if n else 0
+    # persistent AllTheKingsHorses analog: zero-init ONCE per file; the
+    # phantom-slot semantics then survive batch boundaries (see shallow.cpp)
+    vote_buffer = np.zeros(max_wins + 2, np.int64)
+    label_pool = b"".join(index.strings)
+    label_offsets = np.zeros(len(index.strings) + 1, np.int64)
+    np.cumsum([len(s) for s in index.strings], out=label_offsets[1:])
+    max_label = max((len(s) for s in index.strings), default=0)
+    with open(out_path, "wb") as fo:
+        for f0 in range(0, n, chunk):
+            count = min(chunk, n - f0)
+            name_bytes = int((sc.recs[f0:f0 + count, 1]
+                              - sc.recs[f0:f0 + count, 0]).sum())
+            cap = name_bytes + count * (max_label + 48) + 64
+            out = ctypes.create_string_buffer(cap)
+            used = lib.utree_shallow_classify_batch(
+                index.bin_ix, index.s_lo, index.ixs,
+                cfg.ctr_suffix_bits, cfg.suffix_mask, cfg.bad_ix,
+                cfg.packsize, cfg.sparsity, cfg.word_bits, index.num_labels,
+                data, recs_flat, f0, count, 1 if do_rc else 0,
+                label_pool, label_offsets, cfg.tolerance, cfg.slack,
+                vote_buffer, len(vote_buffer), out, cap)
+            if used < 0:
+                raise RuntimeError(f"shallow classify batch failed: {used}")
+            fo.write(out.raw[:used])
+    return n
 
 
 def shallow_scan_batch(index, ext_codes: list[np.ndarray]) -> list[list[int]]:

@@ -325,16 +325,24 @@ def search_file_shallow(
     """Rank-specific search (utree-search, doCollapse=0 path itree.c:969-1006):
     SPARSITY-subsampled hits, majority vote with TOLERANCE/SLACK rejection.
 
-    The scan runs in the native batch engine (native/shallow.cpp — the
-    literal word state machine at C speed, OpenMP across reads) when the lib
-    compiles and the word fits u64; otherwise scan_shallow_fast."""
+    The whole per-read pipeline (encode, scan, stateful vote, formatting)
+    runs in one native call per batch (native/shallow.cpp
+    utree_shallow_classify_batch) when the libs compile, the word fits u64
+    and the file is linearized FASTA; else the native scan with the Python
+    vote; else scan_shallow_fast."""
     from utree_tpu.classify import ShallowVoter
     from utree_tpu.encode import encode_bases, revcomp_text
-    from utree_tpu.native import shallow_lib, shallow_scan_batch
+    from utree_tpu.native import (fasta_lib, shallow_classify_file,
+                                  shallow_lib, shallow_scan_batch)
 
     cfg = index.config
     use_native = (shallow_lib() is not None and cfg.word_bits <= 64
                   and not index.s_hi.any())
+    if use_native and fasta_lib() is not None:
+        try:
+            return shallow_classify_file(index, reads_path, out_path, do_rc)
+        except ValueError:  # not linearized FASTA for the native scanner
+            pass
     voter = ShallowVoter(index.strings, cfg.tolerance, cfg.slack)
     n = 0
     pend_names: list[bytes] = []
