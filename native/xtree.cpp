@@ -10,6 +10,7 @@
 // the caller compacts (so OpenMP threads never contend on an output cursor).
 
 #include <cstdint>
+#include <cstring>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -47,13 +48,57 @@ static inline int64_t probe(const int64_t* sfx, int64_t lo, int64_t hi,
 
 extern "C" {
 
-// Scan nq queries (byte pool + offsets) against the (bins, sfx) k-mer grid.
-// k = pl + sl <= 29 (2-bit words fit u64).  For query q, hits are written at
+// Scan the query buffer (FASTA or FASTQ, already decompressed) into record
+// quads: [hstart (after '>'/'@'), hend (excl '\n', '\r' kept), sstart, send]
+// — the byte-exact twin of xtree/io.iter_queries (name = full header minus
+// its first character, NOT cut at spaces; FASTQ detected per record by '@'
+// and its '+'/quality lines skipped; a record at EOF missing its sequence
+// or FASTQ tail lines is dropped, like the Python reader's early returns).
+// Returns the record count, or -1 if max_recs is too small.
+int64_t xt_scan_queries(const char* data, int64_t size, int64_t* recs,
+                        int64_t max_recs) {
+    int64_t pos = 0, n = 0;
+    while (pos < size) {
+        const char* nl = (const char*)memchr(data + pos, '\n', size - pos);
+        const int64_t hend = nl ? nl - data : size;
+        const bool fastq = hend > pos && data[pos] == '@';
+        const int64_t hstart = hend > pos ? pos + 1 : pos;
+        if (!nl) break;  // header without newline: seq readline -> EOF
+        const int64_t spos = hend + 1;
+        if (spos >= size) break;  // no sequence line
+        const char* nl2 = (const char*)memchr(data + spos, '\n', size - spos);
+        const int64_t send = nl2 ? nl2 - data : size;
+        int64_t next = nl2 ? send + 1 : size;
+        if (fastq) {  // skip '+' and quality lines; EOF on either drops
+            if (next >= size) break;
+            const char* nl3 =
+                (const char*)memchr(data + next, '\n', size - next);
+            next = nl3 ? (nl3 - data) + 1 : size;
+            if (next >= size) break;
+            const char* nl4 =
+                (const char*)memchr(data + next, '\n', size - next);
+            next = nl4 ? (nl4 - data) + 1 : size;
+        }
+        if (n >= max_recs) return -1;
+        recs[n * 4] = hstart;
+        recs[n * 4 + 1] = hend;
+        recs[n * 4 + 2] = spos;
+        recs[n * 4 + 3] = send;
+        n++;
+        pos = next;
+    }
+    return n;
+}
+
+// Scan nq queries (byte pool + per-query [qs, qe) spans — for the file
+// fast path these point straight into the mmap'd/read file buffer, no
+// per-query copies) against the (bins, sfx) k-mer grid.  k = pl + sl <= 29
+// (2-bit words fit u64).  For query q, hits are written at
 // pre_out/seed_out[qoff[q] ..]; counts[q] reports how many.  sfx must carry
 // the one-past sentinel pod (align.py:100-104), so probe() may read index
 // bins[last].
-void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* off,
-                  int32_t k, int32_t pl,
+void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* qs,
+                  const int64_t* qe, int32_t k, int32_t pl,
                   const int64_t* bins, const int64_t* sfx,
                   const int64_t* qoff,
                   int64_t* pre_out, int64_t* seed_out, int64_t* counts) {
@@ -62,8 +107,8 @@ void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* off,
     const uint64_t mask_sl = (1ull << (2 * sl)) - 1;
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t q = 0; q < nq; q++) {
-        const uint8_t* s = pool + off[q];
-        const int64_t n = off[q + 1] - off[q];
+        const uint8_t* s = pool + qs[q];
+        const int64_t n = qe[q] - qs[q];
         int64_t* pq = pre_out + qoff[q];
         int64_t* sq = seed_out + qoff[q];
         int64_t c = 0;
@@ -276,6 +321,166 @@ void xt_h_tally(const int64_t* pre, const int64_t* seed,
     }
 }
 
+// Fused deep taxonomy call (one call per chunk): for each ambiguous query
+// (matched but not early-called, xtree.c:1196-1301), run the full-string
+// tally and — when still ambiguous — the per-level LBins aufbau walk,
+// entirely in C.  Replaces the per-level xt_h_tally round trips (each of
+// which re-subset the hit arrays and re-walked the pod grid through
+// NumPy glue).  Semantics are the literal twin of align.py's
+// _align_chunk deep block + _batch_aufbau (themselves golden-tested
+// against the reference binary):
+//   - per-seed-entry dedupe (the sign trick, xtree.c:1200-1215);
+//   - full-level argmax tie-break = smallest taxon id (h_maxIx1 unsigned
+//     -1 compare, xtree.c:1221); mx2 carries multiplicity;
+//   - shallow accept if mx2==0 or (!full_lca && mx>mx2 && mx/tix>=conf);
+//   - level walk: ag_thres = (int64)(conf*tix); per level only counts
+//     >= ag_thres compete; strict > keeps the FIRST-inserted taxon;
+//     winner accepted while lmax > lmax2 && lmax >= ag_thres
+//     (xtree.c:1241-1301); ft_lv = winning level, and under tax_out
+//     mb[q][1+h] = winner + win_lv * Hn (xtree.c:1300).
+// The pod expansion (rix per pod, entry boundaries) is materialized once
+// per query and reused across both hierarchies and all levels.
+// lbins[h] is row-major (L, Hn); ft_ix/ft_lv are (Q,2), mb is (Q,3).
+void xt_deep_call(const int64_t* deepq, int64_t ndq, const int64_t* qstart,
+                  const int64_t* pre, const int64_t* seed,
+                  const int64_t* bins, const int64_t* run_end_ext,
+                  const int64_t* rix,
+                  const int64_t* hmap0, int64_t Hn0, const int64_t* lbins0,
+                  int64_t L0,
+                  const int64_t* hmap1, int64_t Hn1, const int64_t* lbins1,
+                  int64_t L1,
+                  int64_t has_h0, int64_t has_h1,
+                  const int64_t* tix, double conf, int64_t do_full_lca,
+                  int64_t tax_out,
+                  int64_t* ft_ix, int64_t* ft_lv, int64_t* mb) {
+    const int64_t HnMax = (Hn0 > Hn1 ? Hn0 : Hn1) + 1;
+#pragma omp parallel
+    {
+        std::vector<int64_t> cnt(HnMax, 0), qstamp(HnMax, -1),
+            estamp(HnMax, -1), ins(HnMax, 0);
+        std::vector<int64_t> prx, pent;  // per-pod rix + entry id, one query
+        std::vector<int64_t> touched;    // taxa in first-encounter order
+        int64_t etok = 0, qtok = 0;
+#pragma omp for schedule(dynamic, 32)
+        for (int64_t d = 0; d < ndq; d++) {
+            const int64_t q = deepq[d];
+            prx.clear();
+            pent.clear();
+            for (int64_t i = qstart[q]; i < qstart[q + 1]; i++) {
+                const int64_t s = seed[i];
+                int64_t e = run_end_ext[s];
+                const int64_t hard = bins[pre[i] + 1];
+                if (hard < e) e = hard;
+                for (int64_t j = s; j < e; j++) {
+                    prx.push_back(rix[j]);
+                    pent.push_back(i);
+                }
+            }
+            const int64_t np = (int64_t)prx.size();
+            for (int h = 0; h < 2; h++) {
+                if (h == 0 ? !has_h0 : !has_h1) break;  // break, not continue
+                const int64_t* hmap = h ? hmap1 : hmap0;
+                const int64_t Hn = h ? Hn1 : Hn0;
+                const int64_t* lbins = h ? lbins1 : lbins0;
+                const int64_t L = h ? L1 : L0;
+                // full-string tally (xtree.c:1196-1239)
+                touched.clear();
+                ++qtok;
+                int64_t cur_e = -1;
+                for (int64_t p = 0; p < np; p++) {
+                    if (pent[p] != cur_e) {
+                        cur_e = pent[p];
+                        ++etok;
+                    }
+                    const int64_t f = hmap[prx[p]];
+                    if (estamp[f] == etok) continue;
+                    estamp[f] = etok;
+                    if (qstamp[f] != qtok) {
+                        qstamp[f] = qtok;
+                        cnt[f] = 1;
+                        touched.push_back(f);
+                    } else {
+                        cnt[f]++;
+                    }
+                }
+                int64_t m1 = 0, m2 = 0;
+                int64_t mi = INT64_MAX;  // (rix_t)-1 initial, unsigned compare
+                for (size_t t = 0; t < touched.size(); t++) {
+                    const int64_t tx = touched[t];
+                    const int64_t c = cnt[tx];
+                    if (c > m1 || (c == m1 && tx < mi)) {
+                        m2 = m1;
+                        m1 = c;
+                        mi = tx;
+                    } else if (c > m2) {
+                        m2 = c;
+                    }
+                }
+                const double txq = tix[q] > 1 ? (double)tix[q] : 1.0;
+                if (m2 == 0 || (!do_full_lca && m1 > m2 &&
+                                (double)m1 / txq >= conf)) {
+                    ft_ix[2 * q + h] = mi;  // shallow accept; ft_lv stays 0
+                    continue;
+                }
+                // LBins level walk (xtree.c:1241-1301)
+                const int64_t ag_thres = (int64_t)(conf * (double)tix[q]);
+                int64_t agreed = tix[q], winner = -1, win_lv = -1;
+                int64_t semi = 1;
+                while (agreed >= ag_thres && semi - 1 < L) {
+                    const int64_t* lb = lbins + (semi - 1) * Hn;
+                    touched.clear();
+                    ++qtok;
+                    cur_e = -1;
+                    for (int64_t p = 0; p < np; p++) {
+                        if (pent[p] != cur_e) {
+                            cur_e = pent[p];
+                            ++etok;
+                        }
+                        int64_t f = lb[hmap[prx[p]]];
+                        if (f == -1) continue;
+                        if (estamp[f] == etok) continue;
+                        estamp[f] = etok;
+                        if (qstamp[f] != qtok) {
+                            qstamp[f] = qtok;
+                            cnt[f] = 1;
+                            touched.push_back(f);
+                        } else {
+                            cnt[f]++;
+                        }
+                    }
+                    // insertion-order iteration + strict '>' keeps the
+                    // first-inserted taxon among equals (dict-order contract)
+                    int64_t lmax = 0, lmax2 = 0, lwin = 0;
+                    for (size_t t = 0; t < touched.size(); t++) {
+                        const int64_t c = cnt[touched[t]];
+                        if (c < ag_thres) continue;
+                        if (c > lmax) {
+                            lmax2 = lmax;
+                            lmax = c;
+                            lwin = touched[t];
+                        } else if (c > lmax2) {
+                            lmax2 = c;
+                        }
+                    }
+                    if (lmax > lmax2 && lmax >= ag_thres) {
+                        agreed = lmax;
+                        winner = lwin;
+                        win_lv = semi;
+                    } else {
+                        agreed = 0;
+                    }
+                    semi++;
+                }
+                if (winner != -1) {
+                    ft_ix[2 * q + h] = winner;
+                    ft_lv[2 * q + h] = win_lv;
+                    if (tax_out) mb[3 * q + 1 + h] = winner + win_lv * Hn;
+                }
+            }
+        }
+    }
+}
+
 // Per-query perq output formatting (xtree.c:1344-1396's per-query print,
 // batch form of align.py:_align_chunk's Python tail — the cProfile'd ~25%
 // of host-mode ALIGN).  Lines are joined by '\n' with NO trailing newline,
@@ -283,7 +488,8 @@ void xt_h_tally(const int64_t* pre, const int64_t* seed,
 // line + "\n".  Returns bytes written, or -1 if cap is too small (caller
 // retries with a bigger buffer, the vote.cpp protocol).
 int64_t xt_format_perq(int64_t Q,
-                       const uint8_t* head_pool, const int64_t* head_off,
+                       const uint8_t* head_pool, const int64_t* head_s,
+                       const int64_t* head_e,
                        const uint8_t* rn_pool, const int64_t* rn_off,
                        const uint8_t* h0_pool, const int64_t* h0_off,
                        const uint8_t* h1_pool, const int64_t* h1_off,
@@ -299,10 +505,9 @@ int64_t xt_format_perq(int64_t Q,
             if (o + 1 > cap) return -1;
             out[o++] = '\n';
         }
-        const int64_t hl = head_off[q + 1] - head_off[q];
+        const int64_t hl = head_e[q] - head_s[q];
         if (o + hl > cap) return -1;
-        std::copy(head_pool + head_off[q], head_pool + head_off[q + 1],
-                  out + o);
+        std::copy(head_pool + head_s[q], head_pool + head_e[q], out + o);
         o += hl;
         if (!matched[q]) {
             if (o + (int64_t)sizeof(NOMATCH) > cap) return -1;

@@ -107,6 +107,7 @@ def test_fastq_gz_queries(xtoy, tmp_path):
     (0.95, True, False),  # aufbau + the native formatting tail (lv>0 cuts)
     (0.95, False, False),  # shallow early-exit branch
     (0.0, True, True),     # ag_thres = 0 edge (loop runs to the level cap)
+    (0.0, True, False),    # ag_thres = 0 through the fused native deep call
 ])
 def test_batch_engine_matches_scalar(tmp_path, conf, full_lca, redist):
     """Property test: the vectorized chunk engine's output bytes equal the
@@ -270,8 +271,8 @@ def test_native_scan_equals_numpy_spec():
     want = al._batch_hits(seqs)
     offsets = np.zeros(len(seqs) + 1, np.int64)
     np.cumsum([len(s) for s in seqs], out=offsets[1:])
-    got = xt_scan_hits(lib, b"".join(seqs), offsets, al.k, al.pl,
-                       al.bins, al.sfx)
+    got = xt_scan_hits(lib, b"".join(seqs), offsets[:-1], offsets[1:],
+                       al.k, al.pl, al.bins, al.sfx)
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
 

@@ -408,32 +408,47 @@ def xtree_lib():
     if so is None:
         return None
     lib = ctypes.CDLL(str(so))
+    I64 = np.ctypeslib.ndpointer(np.int64)
     lib.xt_scan_hits.restype = None
     lib.xt_scan_hits.argtypes = [
-        ctypes.c_int64, ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, ctypes.c_char_p, I64, I64,
         ctypes.c_int32, ctypes.c_int32,
-        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
-        np.ctypeslib.ndpointer(np.int64),
-        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
-        np.ctypeslib.ndpointer(np.int64),
+        I64, I64, I64, I64, I64, I64,
+    ]
+    lib.xt_scan_queries.restype = ctypes.c_int64
+    lib.xt_scan_queries.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, I64, ctypes.c_int64,
     ]
     _xtree_lib = lib
     return lib
 
 
-def xt_scan_hits(lib, pool: bytes, offsets: np.ndarray, k: int, pl: int,
+def xt_scan_queries(lib, data: bytes) -> np.ndarray:
+    """(n, 4) record quads [hstart, hend, sstart, send] for a FASTA/FASTQ
+    buffer — the C twin of xtree/io.iter_queries (full-header names)."""
+    max_recs = max(16, data.count(b"\n") // 2 + 2)
+    recs = np.zeros(max_recs * 4, np.int64)
+    n = lib.xt_scan_queries(data, len(data), recs, max_recs)
+    if n < 0:
+        raise ValueError("query record table overflow")
+    return recs[: n * 4].reshape(n, 4)
+
+
+def xt_scan_hits(lib, pool, qs: np.ndarray, qe: np.ndarray, k: int, pl: int,
                  bins: np.ndarray, sfx: np.ndarray):
     """(qid, prefix, seed) hit triples for a query chunk, scan order —
-    the C++ twin of xtree.align.XtreeAligner._batch_hits."""
-    nq = len(offsets) - 1
-    lens = np.diff(offsets)
-    wn = np.maximum(lens - k + 1, 0)
+    the C++ twin of xtree.align.XtreeAligner._batch_hits.  `qs`/`qe` are
+    per-query [start, end) spans into `pool` (the file buffer on the fast
+    path — no per-query copies)."""
+    nq = len(qs)
+    wn = np.maximum((qe - qs) - k + 1, 0)
     qoff = np.zeros(nq + 1, np.int64)
     np.cumsum(2 * wn, out=qoff[1:])
     pre_out = np.empty(int(qoff[-1]), np.int64)
     seed_out = np.empty(int(qoff[-1]), np.int64)
     counts = np.zeros(nq, np.int64)
-    lib.xt_scan_hits(nq, pool, np.ascontiguousarray(offsets, np.int64),
+    lib.xt_scan_hits(nq, pool, np.ascontiguousarray(qs, np.int64),
+                     np.ascontiguousarray(qe, np.int64),
                      k, pl, bins, sfx, qoff, pre_out, seed_out, counts)
     qid = np.repeat(np.arange(nq, dtype=np.int64), counts)
     if int(counts.sum()) == int(qoff[-1]):
@@ -519,7 +534,7 @@ def _xt_register_perq(lib):
     lib.xt_format_perq.restype = ctypes.c_int64
     lib.xt_format_perq.argtypes = [
         ctypes.c_int64,
-        ctypes.c_char_p, I64,  # heads
+        ctypes.c_char_p, I64, I64,  # head pool + [start, end) spans
         ctypes.c_char_p, I64,  # ref names
         ctypes.c_char_p, I64,  # h_strings[0]
         ctypes.c_char_p, I64,  # h_strings[1]
@@ -531,25 +546,25 @@ def _xt_register_perq(lib):
     lib._perq_registered = True
 
 
-def xt_format_perq(lib, heads: list[bytes], pools, matched, mix, mx, mx2,
-                   tix, ft_ix, ft_lv) -> bytes:
+def xt_format_perq(lib, head_pool, head_s, head_e, pools, matched, mix, mx,
+                   mx2, tix, ft_ix, ft_lv) -> bytes:
     """Chunk perq lines, '\\n'-joined with no trailing newline — byte twin of
-    align.py:_align_chunk's per-query formatting tail.  `pools` = (ref_names,
-    h_strings[0], h_strings[1]) StringPools."""
+    align.py:_align_chunk's per-query formatting tail.  Heads come as
+    [start, end) spans into `head_pool` (the file buffer on the fast path).
+    `pools` = (ref_names, h_strings[0], h_strings[1]) StringPools."""
     _xt_register_perq(lib)
-    Q = len(heads)
-    head_off = np.zeros(Q + 1, np.int64)
-    np.cumsum([len(h) for h in heads], out=head_off[1:])
-    head_pool = b"".join(heads)
+    Q = len(head_s)
+    head_s = np.ascontiguousarray(head_s, np.int64)
+    head_e = np.ascontiguousarray(head_e, np.int64)
     rn, h0, h1 = pools
     nmatch = int(np.count_nonzero(matched))
-    cap = (len(head_pool) + 75 * Q + 8
+    cap = (int((head_e - head_s).sum()) + 75 * Q + 8
            + nmatch * (rn.max_len + h0.max_len + h1.max_len))
     i64 = lambda a: np.ascontiguousarray(a, np.int64)
     while True:
         out = ctypes.create_string_buffer(cap)
         wrote = lib.xt_format_perq(
-            Q, head_pool, head_off,
+            Q, head_pool, head_s, head_e,
             rn.pool, rn.off, h0.pool, h0.off, h1.pool, h1.off,
             np.ascontiguousarray(matched, np.uint8),
             i64(mix), i64(mx), i64(mx2), i64(tix),
@@ -561,6 +576,41 @@ def xt_format_perq(lib, heads: list[bytes], pools, matched, mix, mx, mx2,
         if wrote < 0:
             raise RuntimeError(f"xt_format_perq error {wrote}")
         return out.raw[:wrote]
+
+
+def _xt_register_deep(lib):
+    if getattr(lib, "_deep_registered", False):
+        return
+    I64 = np.ctypeslib.ndpointer(np.int64)
+    lib.xt_deep_call.restype = None
+    lib.xt_deep_call.argtypes = [
+        I64, ctypes.c_int64, I64, I64, I64, I64, I64, I64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        I64, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        I64, I64, I64,
+    ]
+    lib._deep_registered = True
+
+
+def xt_deep_call(lib, deepq, qstart, pre, seed, bins, run_end_ext, rix,
+                 pack, tix, conf, full_lca, tax_out, ft_ix, ft_lv, mb):
+    """Fused deep taxonomy call (native/xtree.cpp:xt_deep_call): full-string
+    tally + LBins level walk per ambiguous query, writing ft_ix/ft_lv/mb
+    rows in place.  `pack` = XtreeAligner._deep_pack (cached int64 hmaps +
+    row-major lbins stacks)."""
+    _xt_register_deep(lib)
+    hm0, Hn0, lb0, L0, hm1, Hn1, lb1, L1, has0, has1 = pack
+    vp = lambda a: None if a is None else a.ctypes.data_as(ctypes.c_void_p)
+    lib.xt_deep_call(
+        np.ascontiguousarray(deepq, np.int64), len(deepq), qstart,
+        np.ascontiguousarray(pre, np.int64),
+        np.ascontiguousarray(seed, np.int64), bins, run_end_ext, rix,
+        vp(hm0), Hn0, vp(lb0), L0, vp(hm1), Hn1, vp(lb1), L1,
+        has0, has1, np.ascontiguousarray(tix, np.int64), float(conf),
+        1 if full_lca else 0, 1 if tax_out else 0,
+        ft_ix.reshape(-1), ft_lv.reshape(-1), mb.reshape(-1))
 
 
 def xt_h_tally(lib, qid, pre, seed, bins, run_end_ext, rix, hmap, Hn, Q,

@@ -136,6 +136,20 @@ class XtreeAligner:
 
         self._xt_lib = xtree_lib()
         self._pq_pools = None
+        # cached inputs for the fused native deep call: int64 hmaps and
+        # row-major (L, Hn) lbins stacks per hierarchy
+        packs = []
+        for h in range(2):
+            if self.h_strings[h]:
+                hm = np.ascontiguousarray(self.h_pairs[h], np.int64)
+                lv = self.lbins[h]
+                lb = (np.ascontiguousarray(np.vstack(lv), np.int64)
+                      if lv else None)
+                packs += [hm, self.n_uniq_h[h], lb, len(lv)]
+            else:
+                packs += [None, 0, None, 0]
+        packs += [1 if self.h_strings[0] else 0, 1 if self.h_strings[1] else 0]
+        self._deep_pack = tuple(packs)
 
     def _perq_pools(self):
         """StringPools for the native perq formatter (built once per DB)."""
@@ -551,18 +565,43 @@ class XtreeAligner:
         query_aligns = np.zeros(db.num_kmers + 1, np.int64)
         full_query_aligns = np.zeros(db.num_refs, np.int64)
 
-        heads: list[bytes] = []
-        seqs: list[bytes] = []
-        for qhed, seq in iter_queries(reads_path):
-            heads.append(qhed)
-            seqs.append(seq)
-            if len(seqs) >= self.chunk_queries:
-                self._align_chunk(heads, seqs, opts, results, cbins, perq_lines,
-                                  query_aligns, full_query_aligns)
-                heads, seqs = [], []
-        if seqs:
-            self._align_chunk(heads, seqs, opts, results, cbins, perq_lines,
-                              query_aligns, full_query_aligns)
+        # fast path: read the whole file (gz-decoded), scan records in C
+        # once, and hand each chunk [start, end) spans into the buffer —
+        # no per-query Python objects at all.  stdin keeps the iterator.
+        data = None
+        if self._xt_lib is not None and reads_path != "-":
+            try:
+                with open(reads_path, "rb") as f:
+                    data = f.read()
+                if str(reads_path).endswith(".gz"):
+                    import gzip
+
+                    data = gzip.decompress(data)
+            except OSError:
+                data = None
+        if data is not None:
+            from utree_tpu.native import xt_scan_queries
+
+            recs = xt_scan_queries(self._xt_lib, data)
+            for f0 in range(0, len(recs), self.chunk_queries):
+                self._align_chunk(
+                    None, None, opts, results, cbins, perq_lines,
+                    query_aligns, full_query_aligns,
+                    spans=(data, recs[f0:f0 + self.chunk_queries]))
+        else:
+            heads: list[bytes] = []
+            seqs: list[bytes] = []
+            for qhed, seq in iter_queries(reads_path):
+                heads.append(qhed)
+                seqs.append(seq)
+                if len(seqs) >= self.chunk_queries:
+                    self._align_chunk(heads, seqs, opts, results, cbins,
+                                      perq_lines, query_aligns,
+                                      full_query_aligns)
+                    heads, seqs = [], []
+            if seqs:
+                self._align_chunk(heads, seqs, opts, results, cbins,
+                                  perq_lines, query_aligns, full_query_aligns)
 
         master = np.array(results, np.int64) if results else np.zeros((0, 3), np.int64)
         if opts.do_redist:
@@ -571,8 +610,14 @@ class XtreeAligner:
         return master
 
     def _align_chunk(self, heads, seqs, opts, results, cbins, perq_lines,
-                     query_aligns, full_query_aligns):
-        Q = len(seqs)
+                     query_aligns, full_query_aligns, spans=None):
+        if spans is not None:
+            data, recs = spans
+            Q = len(recs)
+            if self._dev_step is not None or self._xt_lib is None:
+                seqs = [bytes(data[int(a):int(b)]) for a, b in recs[:, 2:4]]
+        else:
+            Q = len(seqs)
         nuh = self.n_uniq_h
         conf = opts.confidence
         if self._dev_step is not None:
@@ -580,11 +625,16 @@ class XtreeAligner:
         elif self._xt_lib is not None:
             from utree_tpu.native import xt_scan_hits
 
-            offsets = np.zeros(Q + 1, np.int64)
-            np.cumsum([len(s) for s in seqs], out=offsets[1:])
-            qid_h, pres_h, seeds_h = xt_scan_hits(
-                self._xt_lib, b"".join(seqs), offsets, self.k, self.pl,
-                self.bins, self.sfx)
+            if spans is not None:
+                qid_h, pres_h, seeds_h = xt_scan_hits(
+                    self._xt_lib, data, recs[:, 2], recs[:, 3], self.k,
+                    self.pl, self.bins, self.sfx)
+            else:
+                offsets = np.zeros(Q + 1, np.int64)
+                np.cumsum([len(s) for s in seqs], out=offsets[1:])
+                qid_h, pres_h, seeds_h = xt_scan_hits(
+                    self._xt_lib, b"".join(seqs), offsets[:-1], offsets[1:],
+                    self.k, self.pl, self.bins, self.sfx)
         else:
             qid_h, pres_h, seeds_h = self._batch_hits(seqs)
         tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
@@ -633,7 +683,19 @@ class XtreeAligner:
                     for q, t in zip(e, hp):
                         cl[q].append(int(t))
 
-        if len(deep):
+        if len(deep) and self._xt_lib is not None and not opts.do_redist:
+            # fused native deep call: full tally + level walk per query in
+            # one C pass (no per-level subsetting/tally round trips); the
+            # redistribution path needs per-level candidate lists, so it
+            # keeps the NumPy block below
+            from utree_tpu.native import xt_deep_call
+
+            qstart = np.searchsorted(qid_h, np.arange(Q + 1)).astype(np.int64)
+            xt_deep_call(self._xt_lib, deep, qstart, pres_h, seeds_h,
+                         self.bins, self.run_end_ext, self.rix,
+                         self._deep_pack, tix, conf, opts.do_full_lca,
+                         bool(opts.tax_out), ft_ix, ft_lv, mb)
+        elif len(deep):
             inq = np.zeros(Q, bool)
             inq[deep] = True
             sub = inq[qid_h]
@@ -677,10 +739,18 @@ class XtreeAligner:
             if perq_lines is not None:
                 from utree_tpu.native import xt_format_perq
 
+                if spans is not None:
+                    hp, hs, he = data, recs[:, 0], recs[:, 1]
+                else:
+                    ho = np.zeros(Q + 1, np.int64)
+                    np.cumsum([len(h) for h in heads], out=ho[1:])
+                    hp, hs, he = b"".join(heads), ho[:-1], ho[1:]
                 perq_lines.append(xt_format_perq(
-                    self._xt_lib, heads, self._perq_pools(),
+                    self._xt_lib, hp, hs, he, self._perq_pools(),
                     matched, mix, mx, mx2, tix, ft_ix, ft_lv))
             return
+        if heads is None:  # spans fast path falling through to the Python
+            heads = [bytes(data[int(a):int(b)]) for a, b in recs[:, 0:2]]
         for q in range(Q):
             if not matched[q]:
                 if perq_lines is not None:
