@@ -267,4 +267,101 @@ int64_t utree_vote_packed(
   return total;
 }
 
+// Format lines for the DEVICE-VOTED layout (lookup.search_step_vote_compact):
+// row r of `main` is 3 u32 lanes
+//   w0 = (rep_label+1) | nuniq<<17 | dvcode<<22 | flag<<24
+//   w1 = foundUniq | dv<<20
+//   w2 = sl | ol<<16
+// where dvcode 1 = empty toprint ((uint32)-1), 2 = full string ((uint32)-2),
+// 0 = cut at dv chars (itree.c:1087-1096).  The aufbau already ran ON DEVICE
+// (classify_device.aufbau_walk_device); this pass only prints.  Rows with
+// flag set (nuniq > device cap, or the defensive iteration cap) arrive as
+// override CSR histograms and take the full host walk — the same contract
+// as utree_vote_packed.  Returns bytes written, -1 if out_cap is too small.
+int64_t utree_format_device_vote(
+    int64_t n_reads,
+    const uint32_t* main_rows,
+    int64_t n_over,
+    const int64_t* over_rows,
+    const int64_t* over_offsets,
+    const int32_t* over_labels,
+    const int32_t* over_counts,
+    const char* string_pool,
+    const int64_t* string_offsets,
+    const char* name_pool,
+    const int64_t* name_offsets,
+    int32_t taxacut,
+    char* out_buf,
+    int64_t out_cap) {
+  constexpr int64_t CHUNK = 8192;
+  const int64_t n_chunks = n_reads > 0 ? (n_reads + CHUNK - 1) / CHUNK : 0;
+  std::vector<std::string> parts((size_t)n_chunks);
+  int err = 0;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    TaxCnt tc_fixed[MAX_U];
+    std::vector<TaxCnt> tc_big;
+    char line[1 << 17];
+    std::string& part = parts[(size_t)c];
+    const int64_t lo_r = c * CHUNK;
+    const int64_t hi_r = std::min(n_reads, lo_r + CHUNK);
+    int64_t oi = 0;
+    while (oi < n_over && over_rows[oi] < lo_r) ++oi;
+    for (int64_t r = lo_r; r < hi_r; ++r) {
+      const char* name = name_pool + name_offsets[r];
+      if (oi < n_over && over_rows[oi] == r) {
+        const int64_t a = over_offsets[oi], b = over_offsets[oi + 1];
+        ++oi;
+        const int64_t nu = b - a;
+        TaxCnt* tc = tc_span(tc_fixed, tc_big, nu);
+        for (int64_t i = a; i < b; ++i)
+          tc[i - a] = {string_pool + string_offsets[over_labels[i]],
+                       (uint32_t)over_counts[i]};
+        if (nu == 0) continue;
+        const int64_t w = emit_read(tc, nu, name, taxacut, line,
+                                    line + sizeof line);
+        if (w < 0) { err = 2; break; }
+        part.append(line, (size_t)w);
+        continue;
+      }
+      const uint32_t w0 = main_rows[r * 3];
+      const uint32_t nuniq = (w0 >> 17) & 31u;
+      if (nuniq == 0) continue;
+      if (w0 & (1u << 24)) { err = 3; break; }  // flag without an override
+      const uint32_t w1 = main_rows[r * 3 + 1];
+      const uint32_t w2 = main_rows[r * 3 + 2];
+      const char* rep = string_pool + string_offsets[(int64_t)(w0 & 0x1FFFFu) - 1];
+      const uint32_t found = w1 & 0xFFFFFu;
+      int64_t w;
+      if (nuniq == 1) {
+        w = snprintf(line, sizeof line, "%s\t%s\t%u\t1\t*\n", name, rep, found);
+      } else {
+        const uint32_t dvcode = (w0 >> 22) & 3u;
+        const uint32_t dv = (w1 >> 20) & 0x7FFu;
+        const uint32_t sl = w2 & 0xFFFFu, ol = w2 >> 16;
+        if (dvcode == 2u) {
+          w = snprintf(line, sizeof line, "%s\t%s\t%u\t%u\t%u;%u\n", name, rep,
+                       found, nuniq, sl, ol);
+        } else {
+          const int cut = dvcode == 1u ? 0 : (int)dv;
+          w = snprintf(line, sizeof line, "%s\t%.*s\t%u\t%u\t%u;%u\n", name,
+                       cut, rep, found, nuniq, sl, ol);
+        }
+      }
+      if (w < 0 || w >= (int64_t)sizeof line) { err = 2; break; }
+      part.append(line, (size_t)w);
+    }
+  }
+  if (err) return -err;
+  int64_t total = 0;
+  for (const auto& p : parts) total += (int64_t)p.size();
+  if (total > out_cap) return -1;
+  char* out = out_buf;
+  for (const auto& p : parts) {
+    memcpy(out, p.data(), p.size());
+    out += p.size();
+  }
+  return total;
+}
+
 }  // extern "C"

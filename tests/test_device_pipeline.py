@@ -195,7 +195,7 @@ def test_compact_readback_identical(toy, tmp_path):
     outs = {}
     for compact in (True, False):
         pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
-                              compact_readback=compact)
+                              compact_readback=compact, device_vote=False)
         assert pipe._compact is compact
         out = tmp_path / f"cls_compact_{compact}.txt"
         pipe.search_file(str(toy["reads"]), str(out))
@@ -204,12 +204,70 @@ def test_compact_readback_identical(toy, tmp_path):
     assert outs[True] == toy["golden_rc"]["classifications"].read_bytes()
 
 
+def test_device_vote_identical(toy, tmp_path):
+    """The on-device aufbau (12B/read readback, host formats only) must
+    reproduce the full-layout output byte-for-byte, including over-cap
+    host replays and chimeric >= 2-label reads."""
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden_rc"]["ctr"]))
+    from utree_tpu.io.fasta import iter_fasta_records
+
+    refs = [seq for _, seq in iter_fasta_records(toy["refs"])]
+    rng = np.random.default_rng(7)
+    chimeric = []
+    for i in range(48):
+        a, b = rng.choice(len(refs), size=2, replace=False)
+        pa = rng.integers(0, len(refs[a]) - 80)
+        pb = rng.integers(0, len(refs[b]) - 80)
+        chimeric.append(b">c%d\n%s\n" % (
+            i, refs[a][pa : pa + 80] + refs[b][pb : pb + 80]))
+    reads2 = tmp_path / "reads_chim.fa"
+    reads2.write_bytes(
+        open(toy["reads"], "rb").read() + b"".join(chimeric))
+    outs = {}
+    for dv in (True, False):
+        pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
+                              device_vote=dv, compact_readback=False)
+        assert pipe._devvote is dv
+        out = tmp_path / f"cls_devvote_{dv}.txt"
+        pipe.search_file(str(reads2), str(out))
+        outs[dv] = out.read_bytes()
+    assert outs[True] == outs[False]
+
+
+def test_device_vote_cap_overflow_replay(toy, tmp_path):
+    """Reads with nuniq > hist_cap must be flagged by the device vote and
+    replayed exactly on host (the override CSR path)."""
+    didx = DeviceIndexArrays.from_ctr(str(toy["golden_rc"]["ctr"]))
+    from utree_tpu.io.fasta import iter_fasta_records
+
+    refs = [seq for _, seq in iter_fasta_records(toy["refs"])]
+    rng = np.random.default_rng(11)
+    seqs, names = [], []
+    for i in range(16):  # splice many refs -> nuniq > cap=2
+        parts = []
+        for r in rng.choice(len(refs), size=6, replace=False):
+            p = rng.integers(0, len(refs[r]) - 60)
+            parts.append(refs[r][p : p + 60])
+        seqs.append(b"".join(parts))
+        names.append(b"m%d" % i)
+    pipe = SearchPipeline(didx, do_rc=True, batch_size=16, hist_cap=2)
+    assert pipe._devvote
+    h = pipe.dispatch(seqs)
+    rows = pipe._devvote_rows(h, len(seqs))
+    assert ((rows[:, 0] >> 24) & 1).any(), "no read overflowed the cap"
+    got = pipe.finalize(names, seqs, pipe.dispatch(seqs))
+    ref = SearchPipeline(didx, do_rc=True, batch_size=16, hist_cap=2,
+                         device_vote=False)
+    want = ref.finalize(names, seqs, ref.dispatch(seqs))
+    assert got == want
+
+
 def test_compact_overflow_redispatches_full(toy, tmp_path):
     """A batch with more >=2-label reads than the overflow block holds must
     be redispatched through the full layout — same bytes, never truncated."""
     didx = DeviceIndexArrays.from_ctr(str(toy["golden_rc"]["ctr"]))
     pipe = SearchPipeline(didx, do_rc=True, batch_size=128,
-                          compact_over_cap=1)
+                          compact_over_cap=1, device_vote=False)
     # the toy reads all hit one label; chimeric reads spliced from two
     # references hit >= 2, overflowing the 1-row block and forcing the
     # full-layout redispatch

@@ -766,6 +766,48 @@ def search_step_hist_compact(table: dict, packed: jax.Array, vbits: jax.Array,
     return jnp.concatenate([main.reshape(-1), over.reshape(-1)])
 
 
+def search_step_vote_compact(table: dict, packed: jax.Array, vbits: jax.Array,
+                             lengths: jax.Array, *,
+                             k: int, do_rc: bool, probe_iters: int, bad_ix: int,
+                             num_labels: int, cap: int,
+                             taxacut: int, max_iters: int,
+                             true_len: int | None = None):
+    """search_step_hist_compact with the AUFBAU RUN ON DEVICE
+    (classify_device.aufbau_walk_device): the readback is a flat (B*3,)
+    int32 vector, 12B/read with NO per-read histogram rows —
+      w0 = (rep_label+1) | nuniq<<17 | dvcode<<22 | flag<<24
+      w1 = foundUniq | dv<<20
+      w2 = sl | ol<<16
+    Reads with flag set (nuniq > cap, or the defensive walk-iteration cap)
+    carry no vote; the host recomputes their histograms exactly and walks
+    them in C (utree_format_device_vote's override CSR) — the same
+    cap-overflow contract as the histogram layouts.  Field ranges are
+    guaranteed by the pipeline gates: num_labels < 2^16 (packed lanes),
+    reads <= long_read_threshold so found < 2^16, label strings < 2048
+    chars so dv fits 11 bits."""
+    from utree_tpu.classify_device import DV_INTERP, aufbau_walk_device
+
+    vote_tab = {kk[3:]: v for kk, v in table.items() if kk.startswith("vt_")}
+    ix = _packed_window_ix(table, packed, vbits, lengths, k=k, do_rc=do_rc,
+                           probe_iters=probe_iters, bad_ix=bad_ix,
+                           num_labels=num_labels, true_len=true_len)
+    labels, counts, nuniq, found = compact_histogram(ix, num_labels, cap)
+    rep, dvcode, dv, sl, ol, flag = aufbau_walk_device(
+        vote_tab, labels, counts, nuniq, found, taxacut=taxacut,
+        max_iters=max_iters)
+    # value-range insurance: a read whose counters exceed the packed field
+    # widths (possible only far beyond the short-read threshold) is flagged
+    # for the exact host replay instead of being truncated
+    unfit = ((found >= (1 << 20)) | (sl >= (1 << 16)) | (ol >= (1 << 16))
+             | ((dvcode == DV_INTERP) & (dv >= (1 << 11))))
+    flag = flag | unfit.astype(jnp.int32)
+    w0 = ((rep + 1) | (jnp.minimum(nuniq, 31) << 17) | (dvcode << 22)
+          | (flag << 24))
+    w1 = found | (jnp.where(dvcode == DV_INTERP, dv, 0) << 20)
+    w2 = sl | (ol << 16)
+    return jnp.stack([w0, w1, w2], axis=1).reshape(-1)
+
+
 def pack_hist(ix: jax.Array, num_labels: int, cap: int) -> jax.Array:
     """compact_histogram + u16 packing: (B, W) ids -> (B, cap+1) int32 where
     col j<cap = (label+1) | count<<16 and col cap = nuniq | found<<5."""

@@ -72,6 +72,16 @@ def vote_lib():
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.utree_format_device_vote.restype = ctypes.c_int64
+    lib.utree_format_device_vote.argtypes = [
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.uint32),
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+    ]
     _vote_lib = lib
     return lib
 
@@ -391,6 +401,41 @@ class VoteEngine:
                 continue
             if wrote < 0:
                 raise RuntimeError(f"utree_vote_packed error {wrote}")
+            return out.raw[:wrote]
+
+    def format_device_vote(
+        self,
+        n: int,
+        name_pool: bytes,
+        name_offsets: np.ndarray,
+        rows: np.ndarray,
+        over_rows: np.ndarray,
+        over_offsets: np.ndarray,
+        over_labels: np.ndarray,
+        over_counts: np.ndarray,
+    ) -> bytes:
+        """Format lines from the device-voted (B, 3) u32 rows
+        (lookup.search_step_vote_compact layout); flagged rows take the
+        override CSR through the full host walk in C."""
+        rows = np.ascontiguousarray(rows, np.uint32)
+        cap = 1 << 20
+        while True:
+            out = ctypes.create_string_buffer(cap)
+            wrote = self.lib.utree_format_device_vote(
+                n, rows, len(over_rows),
+                np.ascontiguousarray(over_rows, np.int64),
+                np.ascontiguousarray(over_offsets, np.int64),
+                np.ascontiguousarray(over_labels, np.int32),
+                np.ascontiguousarray(over_counts, np.int32),
+                self.string_pool, self.string_offsets,
+                name_pool, np.ascontiguousarray(name_offsets, np.int64),
+                self.taxacut, out, cap,
+            )
+            if wrote == -1:
+                cap *= 4
+                continue
+            if wrote < 0:
+                raise RuntimeError(f"utree_format_device_vote error {wrote}")
             return out.raw[:wrote]
 
 

@@ -89,6 +89,13 @@ class SearchPipeline:
     compact_readback: bool = True
     compact_over_cap: int | None = None  # tests: force the redispatch path
 
+    # aufbau on device (classify_device): the vote itself runs on the chip
+    # and the readback is 12B/read with no histogram rows at all — the host
+    # only formats lines.  Engaged when the packed-u16 single-device path is
+    # active, the native formatter compiled, and label strings fit the
+    # packed field widths; falls back to compact_readback otherwise.
+    device_vote: bool = True
+
     use_native_vote: bool = True
     # optional utils.trace.PhaseTimer: search_file accumulates per-phase time
     # (scan/pack/dispatch/drain+vote/write) + a `reads` count into it — the
@@ -310,13 +317,24 @@ class SearchPipeline:
         shard_kw = {}
         if self._mesh is not None:
             shard_kw = dict(out_shardings=self._data)
+        self._devvote = False
         if self._packed or self._packed_out:
             from utree_tpu.lookup import (search_step_hist_compact,
                                           search_step_hist_packed,
-                                          search_step_hist_packed_in)
+                                          search_step_hist_packed_in,
+                                          search_step_vote_compact)
 
             raw = search_step_hist_packed if self._packed_out else search_step_hist_packed_in
             base = functools.partial(raw, **common)
+            devvote_tab = None
+            if (self._packed_out and self.device_vote and self._mesh is None
+                    and self.support_ranges == 1
+                    and self._vote_engine is not None):
+                from utree_tpu.classify_device import build_aufbau_tables
+
+                tab = build_aufbau_tables(self.index.strings)
+                if tab.max_len <= 2047:  # dv must fit its 11-bit lane
+                    devvote_tab = tab
             if self._mesh is not None:
                 # pjit forbids kwargs with in_shardings: adapt true_len to a
                 # static positional arg
@@ -329,6 +347,23 @@ class SearchPipeline:
                                 **shard_kw)
                 self._step = lambda table, packed, vbits, lens, *, true_len: (
                     inner(table, packed, vbits, lens, true_len))
+            elif devvote_tab is not None:
+                # aufbau ON DEVICE: the readback is 12B/read flat, no
+                # per-read histogram rows; the host only formats lines
+                # (utree_format_device_vote).  Flagged reads (nuniq >
+                # hist_cap, or value-range overflow) take the host-replay
+                # override CSR — the usual cap-overflow contract.
+                self._devvote = True
+                vt = devvote_tab.device_put()
+                self._table = {**self._table,
+                               **{"vt_" + kk: v for kk, v in vt.items()}}
+                max_iters = ((devvote_tab.max_len + 4)
+                             * (self.hist_cap + 2) + 16)
+                self._step = jax.jit(
+                    functools.partial(search_step_vote_compact,
+                                      taxacut=cfg.taxacut,
+                                      max_iters=max_iters, **common),
+                    static_argnames=("true_len",))
             elif self._packed_out and self.compact_readback:
                 self._compact = True
                 self._over_cap = (self.compact_over_cap
@@ -550,7 +585,76 @@ class SearchPipeline:
             return labels, counts, nuniq, found
         return arr[:, :cap], arr[:, cap : 2 * cap], arr[:, 2 * cap], arr[:, 2 * cap + 1]
 
+    def _devvote_rows(self, handles, count) -> np.ndarray:
+        """(count, 3) uint32 device-vote rows from the flat readback."""
+        arr = self._to_host(handles)
+        u = arr.view(np.uint32) if arr.dtype == np.int32 else arr.astype(np.uint32)
+        return u.reshape(-1, 3)[:count]
+
+    def _devvote_line(self, name: bytes, w0: int, w1: int, w2: int,
+                      seq: bytes | None, seq_of=None, i: int = 0) -> bytes | None:
+        """One read's line from its device-vote row (Python twin of
+        utree_format_device_vote; the native formatter is the fast path)."""
+        from utree_tpu.classify import aufbau_vote_counts
+        from utree_tpu.classify_device import DV_EMPTY, DV_FULL
+
+        nu = (w0 >> 17) & 31
+        if nu == 0:
+            return None
+        strings = self.index.strings
+        if (w0 >> 24) & 1:  # flagged: exact host replay
+            s = seq if seq is not None else seq_of(i)
+            hits = self._host_hits(s)
+            cnt = np.bincount(hits)
+            nz = np.flatnonzero(cnt)
+            return aufbau_vote_counts(name, nz, cnt[nz], strings,
+                                      self.index.config.taxacut, 1)
+        rep = (w0 & 0x1FFFF) - 1
+        found = w1 & 0xFFFFF
+        if nu == 1:
+            return (name + b"\t" + strings[rep] + b"\t"
+                    + str(found).encode() + b"\t1\t*")
+        dvcode = (w0 >> 22) & 3
+        dv = (w1 >> 20) & 0x7FF
+        sl, ol = w2 & 0xFFFF, w2 >> 16
+        tp = (b"" if dvcode == DV_EMPTY
+              else strings[rep] if dvcode == DV_FULL else strings[rep][:dv])
+        return name + b"\t" + tp + b"\t%d\t%d\t%d;%d" % (found, nu, sl, ol)
+
+    def _format_devvote(self, count, name_pool, name_offsets, handles,
+                        seq_of) -> bytes:
+        """Drain one device-voted batch: decode flags, host-replay the
+        flagged reads into an override CSR, and format everything in C."""
+        u = self._devvote_rows(handles, count)
+        flags = np.flatnonzero((u[:, 0] >> 24) & 1).astype(np.int64)
+        over_offsets = np.zeros(len(flags) + 1, np.int64)
+        ols, ocs = [], []
+        for j, i in enumerate(flags):
+            hits = self._host_hits(seq_of(int(i)))
+            cnt = np.bincount(hits)
+            nz = np.flatnonzero(cnt)
+            ols.append(nz.astype(np.int32))
+            ocs.append(cnt[nz].astype(np.int32))
+            over_offsets[j + 1] = over_offsets[j] + len(nz)
+        over_labels = np.concatenate(ols) if ols else np.zeros(0, np.int32)
+        over_counts = np.concatenate(ocs) if ocs else np.zeros(0, np.int32)
+        if self.tracer is not None:
+            with self.tracer.phase("drain:vote"):
+                return self._vote_engine.format_device_vote(
+                    count, name_pool, name_offsets, u, flags, over_offsets,
+                    over_labels, over_counts)
+        return self._vote_engine.format_device_vote(
+            count, name_pool, name_offsets, u, flags, over_offsets,
+            over_labels, over_counts)
+
     def finalize(self, names: list[bytes], seqs: list[bytes], handles) -> list[bytes | None]:
+        if self._devvote:
+            u = self._devvote_rows(handles, len(names))
+            return [
+                self._devvote_line(nm, int(u[i, 0]), int(u[i, 1]),
+                                   int(u[i, 2]), seqs[i])
+                for i, nm in enumerate(names)
+            ]
         labels, counts, nuniq, found = self._unpack(handles)
         strings = self.index.strings
         taxacut = self.index.config.taxacut
@@ -591,6 +695,9 @@ class SearchPipeline:
                 name_offsets[i] = off
                 off += len(nm) + 1
             name_pool = b"\x00".join(names) + b"\x00" if names else b"\x00"
+            if self._devvote:
+                return self._format_devvote(n, name_pool, name_offsets,
+                                            handles, lambda i: seqs[i])
             return self._vote_packed(n, name_pool, name_offsets, handles,
                                      lambda i: seqs[i])
         labels, counts, nuniq, found = self._unpack(handles)
@@ -894,6 +1001,9 @@ class SearchPipeline:
                 raise IndexError(i)
 
             def finalize_native(spans, count, h, name_pool, name_offsets):
+                if self._devvote:
+                    return self._format_devvote(count, name_pool, name_offsets,
+                                                h, lambda i: row_seq(spans, i))
                 if self._packed_out:
                     return self._vote_packed(count, name_pool, name_offsets, h,
                                              lambda i: row_seq(spans, i))
