@@ -44,6 +44,13 @@ def main():
 
     import jax
 
+    # The axon sitecustomize forces jax_platforms=axon even when the
+    # environment asks for cpu; honor the explicit request BEFORE any
+    # backend initializes (a post-init flip is ignored).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
+
     from utree_tpu.config import UTreeConfig
     from utree_tpu.encode import sample_build_kmers
     from utree_tpu.index import DeviceIndexArrays

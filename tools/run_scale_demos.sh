@@ -1,18 +1,12 @@
 #!/bin/bash
 # Round-5 flagship-scale demonstration queue (VERDICT r4 items 1 and 7).
-# Sequence of single-core CPU jobs: rebuild the 150M bench cache (fresh box
-# each round — without it the driver's bench.py pays the placement), then
-# run the 500M and 1.2G routed-shards demonstrations to completion, each
-# with its own committed log.  --fast-lambda on both: placement time is the
+# The 150M bench cache is warmed separately (warmcache_r5.log); this runs
+# the 500M and 1.2G routed-shards demonstrations to completion, each with
+# its own committed log.  --fast-lambda on both: placement time is the
 # blocker on this 1-core box and both lambda choices are exact (the probe
 # reads the stored seeds).
 set -u
 cd /root/repo
-
-echo "=== warm_cache 150M starting $(date -u +%FT%TZ) ===" > warmcache_r5.log
-JAX_PLATFORMS=cpu timeout 7200 python tools/warm_cache.py 150000000 \
-  >> warmcache_r5.log 2>&1
-echo "=== exit $? at $(date -u +%FT%TZ) ===" >> warmcache_r5.log
 
 echo "=== 500M demonstration starting $(date -u +%FT%TZ) ===" > bench500m_r5.log
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
