@@ -23,6 +23,7 @@ def test_resume_produces_identical_output(toy, tmp_path):
     count = {"n": 0}
     orig_unpack = pipe._unpack
     orig_packed = pipe._vote_packed
+    orig_dev = pipe._format_devvote
 
     def tick():
         if count["n"] >= 3:
@@ -37,10 +38,15 @@ def test_resume_produces_identical_output(toy, tmp_path):
         tick()
         return orig_packed(*a, **kw)
 
+    def bomb_dev(*a, **kw):
+        tick()
+        return orig_dev(*a, **kw)
+
     # the drain goes through _vote_packed (packed-output DBs) or _unpack
     # (everything else) — bomb both so either layout gets interrupted
     pipe._unpack = bomb_unpack
     pipe._vote_packed = bomb_packed
+    pipe._format_devvote = bomb_dev
     try:
         pipe.search_file(toy["reads"], str(part))
         raise AssertionError("should have been interrupted")
@@ -48,6 +54,7 @@ def test_resume_produces_identical_output(toy, tmp_path):
         pass
     pipe._unpack = orig_unpack
     pipe._vote_packed = orig_packed
+    pipe._format_devvote = orig_dev
     assert (tmp_path / "part.txt.ckpt").exists()
     partial_size = part.stat().st_size
     assert 0 < partial_size < full.stat().st_size
@@ -77,6 +84,7 @@ def test_resume_with_record_range(toy, tmp_path):
     count = {"n": 0}
     orig_unpack = pipe._unpack
     orig_packed = pipe._vote_packed
+    orig_dev = pipe._format_devvote
 
     def tick():
         if count["n"] >= 1:
@@ -91,8 +99,13 @@ def test_resume_with_record_range(toy, tmp_path):
         tick()
         return orig_packed(*a, **kw)
 
+    def bomb_dev(*a, **kw):
+        tick()
+        return orig_dev(*a, **kw)
+
     pipe._unpack = bomb_unpack
     pipe._vote_packed = bomb_packed
+    pipe._format_devvote = bomb_dev
     try:
         pipe.search_file(toy["reads"], str(part), record_range=(lo, hi))
         raise AssertionError("should have been interrupted")
@@ -100,6 +113,7 @@ def test_resume_with_record_range(toy, tmp_path):
         pass
     pipe._unpack = orig_unpack
     pipe._vote_packed = orig_packed
+    pipe._format_devvote = orig_dev
     assert (tmp_path / "range_part.txt.ckpt").exists()
 
     n = pipe.search_file(toy["reads"], str(part), resume=True,

@@ -23,9 +23,16 @@ import pathlib
 
 
 class SearchCheckpoint:
+    # recovery points cost an fsync each; committing at most once per
+    # interval keeps the steady-state drain free of synchronous disk waits
+    # (resume correctness is unaffected — an older recovery point just
+    # replays a little more work)
+    min_interval: float = 1.0
+
     def __init__(self, out_path: str):
         self.path = pathlib.Path(str(out_path) + ".ckpt")
         self.out_path = out_path
+        self._last_commit = 0.0
 
     def load(self) -> tuple[int, int]:
         """(reads_done, output_bytes) from the last committed batch."""
@@ -36,6 +43,12 @@ class SearchCheckpoint:
         return int(d["reads_done"]), int(d["out_bytes"])
 
     def commit(self, reads_done: int, out_bytes: int) -> None:
+        import time
+
+        now = time.monotonic()
+        if now - self._last_commit < self.min_interval:
+            return
+        self._last_commit = now
         tmp = self.path.with_suffix(".ckpt.tmp")
         with open(tmp, "w") as f:
             json.dump({"reads_done": reads_done, "out_bytes": out_bytes}, f)
