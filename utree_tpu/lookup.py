@@ -805,7 +805,7 @@ def search_step_vote_compact(table: dict, packed: jax.Array, vbits: jax.Array,
           | (flag << 24))
     w1 = found | (jnp.where(dvcode == DV_INTERP, dv, 0) << 20)
     w2 = sl | (ol << 16)
-    return jnp.stack([w0, w1, w2], axis=1).reshape(-1)
+    return jnp.stack([w0, w1, w2], axis=1)  # (B, 3): row-shardable over data
 
 
 def pack_hist(ix: jax.Array, num_labels: int, cap: int) -> jax.Array:

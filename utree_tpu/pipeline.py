@@ -115,6 +115,7 @@ class SearchPipeline:
         self._mesh = None
         self._repl = self._data = None
         self._compact = False
+        self._devvote = False
         self._routed = self.lookup_mode == "routed"
         if self._routed:
             # table SHARDED over the chips (the >HBM regime: the reference's
@@ -317,7 +318,6 @@ class SearchPipeline:
         shard_kw = {}
         if self._mesh is not None:
             shard_kw = dict(out_shardings=self._data)
-        self._devvote = False
         if self._packed or self._packed_out:
             from utree_tpu.lookup import (search_step_hist_compact,
                                           search_step_hist_packed,
@@ -327,7 +327,7 @@ class SearchPipeline:
             raw = search_step_hist_packed if self._packed_out else search_step_hist_packed_in
             base = functools.partial(raw, **common)
             devvote_tab = None
-            if (self._packed_out and self.device_vote and self._mesh is None
+            if (self._packed_out and self.device_vote
                     and self.support_ranges == 1
                     and self._vote_engine is not None):
                 from utree_tpu.classify_device import build_aufbau_tables
@@ -336,6 +336,22 @@ class SearchPipeline:
                 if tab.max_len <= 2047:  # dv must fit its 11-bit lane
                     devvote_tab = tab
             if self._mesh is not None:
+                if devvote_tab is not None:
+                    # device vote composes with the replicated-table DP mesh:
+                    # the walk is per-lane, vote tables replicate with the
+                    # rest of the table pytree, rows shard over `data` — the
+                    # host-side vote (the per-host wall at N chips/host)
+                    # disappears in multi-chip mode too
+                    self._devvote = True
+                    vt = devvote_tab.device_put()
+                    self._table = {**self._table,
+                                   **{"vt_" + kk: v for kk, v in vt.items()}}
+                    max_iters = ((devvote_tab.max_len + 4)
+                                 * (self.hist_cap + 2) + 16)
+                    base = functools.partial(search_step_vote_compact,
+                                             taxacut=cfg.taxacut,
+                                             max_iters=max_iters, **common)
+
                 # pjit forbids kwargs with in_shardings: adapt true_len to a
                 # static positional arg
                 def positional(table, packed, vbits, lens, true_len):
