@@ -336,6 +336,7 @@ class SearchPipeline:
                 if tab.max_len <= 2047:  # dv must fit its 11-bit lane
                     devvote_tab = tab
             if self._mesh is not None:
+                hist_base = base
                 if devvote_tab is not None:
                     # device vote composes with the replicated-table DP mesh:
                     # the walk is per-lane, vote tables replicate with the
@@ -354,15 +355,23 @@ class SearchPipeline:
 
                 # pjit forbids kwargs with in_shardings: adapt true_len to a
                 # static positional arg
-                def positional(table, packed, vbits, lens, true_len):
-                    return base(table, packed, vbits, lens, true_len=true_len)
+                def _mesh_jit(fn):
+                    def positional(table, packed, vbits, lens, true_len):
+                        return fn(table, packed, vbits, lens,
+                                  true_len=true_len)
 
-                inner = jax.jit(positional, static_argnums=(4,),
-                                in_shardings=(self._repl, self._data,
-                                              self._data, self._data),
-                                **shard_kw)
-                self._step = lambda table, packed, vbits, lens, *, true_len: (
-                    inner(table, packed, vbits, lens, true_len))
+                    inner = jax.jit(positional, static_argnums=(4,),
+                                    in_shardings=(self._repl, self._data,
+                                                  self._data, self._data),
+                                    **shard_kw)
+                    return lambda table, packed, vbits, lens, *, true_len: (
+                        inner(table, packed, vbits, lens, true_len))
+
+                self._step = _mesh_jit(base)
+                if self._devvote:
+                    # long-read chunks need per-chunk HISTOGRAMS (merged on
+                    # host before one vote), so the histogram step is kept
+                    self._step_hist = _mesh_jit(hist_base)
             elif devvote_tab is not None:
                 # aufbau ON DEVICE: the readback is 12B/read flat, no
                 # per-read histogram rows; the host only formats lines
@@ -380,6 +389,9 @@ class SearchPipeline:
                                       taxacut=cfg.taxacut,
                                       max_iters=max_iters, **common),
                     static_argnames=("true_len",))
+                # long-read chunks need per-chunk histograms (merged on host
+                # before ONE vote over the whole read); keep the full layout
+                self._step_hist = jax.jit(base, static_argnames=("true_len",))
             elif self._packed_out and self.compact_readback:
                 self._compact = True
                 self._over_cap = (self.compact_over_cap
@@ -786,6 +798,29 @@ class SearchPipeline:
     long_read_threshold: int = 1 << 14
     long_chunk: int = 1 << 14
 
+    def _dispatch_hist(self, reads: np.ndarray, lengths: np.ndarray):
+        """Dispatch through the HISTOGRAM-layout step.  In device-vote mode
+        the main step votes per row, which is wrong for long-read chunks
+        (their histograms must merge on host before one vote over the whole
+        read), so those go through the retained full-layout step."""
+        if not self._devvote:
+            return self.dispatch_matrix(reads, lengths)
+        from utree_tpu.lookup import pack_reads_host
+
+        reads, lengths = self._pad_rows(reads, lengths)
+        if reads.shape[1] % 8:
+            reads = np.pad(reads, ((0, 0), (0, 8 - reads.shape[1] % 8)))
+        packed, vbits, lens = pack_reads_host(reads, lengths.astype(np.int32))
+        k = self.index.config.packsize
+        tl = int(lens.max()) if len(lens) else k
+        tl = min(max(k, (tl + 7) & ~7), packed.shape[1] * 4)
+        if self._mesh is not None:
+            return self._step_hist(self._table, packed, vbits, lens,
+                                   true_len=tl)
+        return self._step_hist(self._table, jax.device_put(packed),
+                               jax.device_put(vbits), jax.device_put(lens),
+                               true_len=tl)
+
     def classify_long_read(self, name: bytes, seq: bytes) -> bytes | None:
         """Position-sharded long-read classification: the read's windows are
         split into chunk rows (each chunk scans forward+RC of its own span,
@@ -798,7 +833,7 @@ class SearchPipeline:
         num_chunks = max(1, -(-max(0, len(seq) - k + 1) // self.long_chunk))
         num_chunks = _bucket_len(num_chunks, minimum=1)  # bound jit recompiles
         chunks, lens = split_long_read(seq, num_chunks, k)
-        labels, counts, nuniq, _found = self._unpack(self.dispatch_matrix(chunks, lens))
+        labels, counts, nuniq, _found = self._unpack(self._dispatch_hist(chunks, lens))
         cap = self.hist_cap
         agg: dict[int, int] = {}
         for r in range(len(chunks)):
