@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--scalar", action="store_true", help="also time the scalar replay")
     ap.add_argument("--device", action="store_true",
                     help="use the TPU displaced-hash k-mer front end")
+    ap.add_argument("--ref", action="store_true",
+                    help="also time the compiled reference xtree ALIGN "
+                         "(OMP_NUM_THREADS=1) on the same DB/reads and "
+                         "byte-compare the outputs")
     a = ap.parse_args()
 
     from utree_tpu.testdata import make_toy_db, make_toy_reads
@@ -67,6 +71,35 @@ def main():
         ds = time.perf_counter() - t0
         print(f"scalar: {a.reads / ds:,.0f} queries/s  ({ds:.2f}s)  "
               f"speedup {ds / dt:,.1f}x")
+
+    if a.ref:
+        import subprocess
+
+        from utree_tpu.oracle import build_xtree_oracle
+        from utree_tpu.xtree.build import write_xtr
+
+        xtr = os.path.join(wd, "db.xtr")
+        write_xtr(db, xtr)  # byte-identical to the reference BUILD (golden)
+        exe = build_xtree_oracle()
+        env = dict(os.environ, OMP_NUM_THREADS="1")
+        g_perq = os.path.join(wd, "g_perq.tsv")
+        g_ref = os.path.join(wd, "g_ref.tsv")
+        g_tax = os.path.join(wd, "g_tax.tsv")
+        t0 = time.perf_counter()
+        subprocess.run(
+            [str(exe), "ALIGN", "--db", xtr, "--seqs", reads,
+             "--perq-out", g_perq, "--ref-out", g_ref, "--tax-out", g_tax,
+             "--threads", "1"],
+            check=True, capture_output=True, env=env)
+        dr = time.perf_counter() - t0
+        print(f"reference xtree ALIGN (1 thread): {a.reads / dr:,.0f} "
+              f"queries/s  ({dr:.2f}s)  ours/ref = {dr / dt:.2f}x")
+        for ours, ref_f in ((opts.perq_out, g_perq), (opts.ref_out, g_ref),
+                            (opts.tax_out, g_tax)):
+            same = open(ours, "rb").read() == open(ref_f, "rb").read()
+            print(f"  {os.path.basename(ref_f)}: byte-identical = {same}")
+            if not same:
+                raise SystemExit(1)
 
 
 if __name__ == "__main__":
