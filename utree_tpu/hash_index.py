@@ -101,9 +101,12 @@ def _reference_hits(index: DeviceIndexArrays):
     cfg = index.config
     bin_ix = index.bin_ix.astype(np.int64)
     n = index.num_records
-    suf_hi = index.suf_hi[:n].astype(np.int64)
-    suf_lo = index.suf_lo[:n].view(np.uint32).astype(np.int64)
-    suffix = (suf_hi << 32) | suf_lo
+    # narrow lanes throughout: at the ~1.2G-entry flagship scale the old
+    # int64 copies (suf_hi/suf_lo/suffix at 8B each) alone cost ~29GB of
+    # transient host RAM; the scan below needs only the stored i32/u32
+    # views and a lexicographic compare
+    suf_hi = index.suf_hi[:n]  # int32 view (values 0..255)
+    suf_lo = index.suf_lo[:n].view(np.uint32)
     # true record extents per populated prefix
     nbins = (1 << cfg.ctr_prefix_bits)
     # prefix of each record = searchsorted over TRUE sorted order: records are
@@ -123,33 +126,44 @@ def _reference_hits(index: DeviceIndexArrays):
     # the literal per-suffix probe replay below.
     breaks_cum = np.zeros(n + 1, np.int64)
     if n > 1:
-        np.cumsum(suffix[1:] <= suffix[:-1], out=breaks_cum[2:])
+        # suffix[i] <= suffix[i-1] via lexicographic (hi, lo) compare — no
+        # 64-bit suffix materialization
+        le = (suf_hi[1:] < suf_hi[:-1]) | (
+            (suf_hi[1:] == suf_hi[:-1]) & (suf_lo[1:] <= suf_lo[:-1]))
+        np.cumsum(le, out=breaks_cum[2:])
         breaks_cum[1] = 0
+        del le
     a_pop = starts[pop]
     b_pop = ends[pop]
     inner_breaks = breaks_cum[b_pop] - breaks_cum[np.minimum(a_pop + 1, b_pop)]
+    del breaks_cum
     normal = inner_breaks == 0
     npop = pop[normal]
     lens = (b_pop - a_pop)[normal]
     idx = _ranges_to_indices(a_pop[normal], lens)
-    out_pre = [np.repeat(npop, lens)]
-    out_hi = [suf_hi[idx]]
-    out_lo = [suf_lo[idx]]
-    out_ix = [index.ix[idx].astype(np.int64)]
-    for p in pop[~normal]:
-        a, b = int(starts[p]), int(ends[p])
-        s = suffix[a:b]
-        # anomalous (merged/contaminated) range: literal probe per
-        # distinct suffix — only reachable via compressor quirks, so tiny
-        for q in np.unique(s):
-            ixv = _probe_range(s, index.ix[a:b], int(q))
-            if ixv is not None:
-                out_pre.append(p); out_hi.append(int(q) >> 32)
-                out_lo.append(int(q) & 0xFFFFFFFF); out_ix.append(ixv)
-    pre = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_pre]) if out_pre else np.zeros(0, np.int64)
-    hi = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_hi]) if out_hi else np.zeros(0, np.int64)
-    lo = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_lo]) if out_lo else np.zeros(0, np.int64)
-    ix = np.concatenate([np.atleast_1d(np.asarray(x, np.int64)) for x in out_ix]) if out_ix else np.zeros(0, np.int64)
+    pre = np.repeat(npop.astype(np.int32), lens)
+    hi = suf_hi[idx].astype(np.int32)
+    lo = suf_lo[idx]
+    ix = index.ix[idx]
+    del idx
+    anom = pop[~normal]
+    if len(anom):
+        out_pre, out_hi, out_lo, out_ix = [], [], [], []
+        for p in anom:
+            a, b = int(starts[p]), int(ends[p])
+            s = ((suf_hi[a:b].astype(np.uint64) << np.uint64(32))
+                 | suf_lo[a:b].astype(np.uint64))
+            # anomalous (merged/contaminated) range: literal probe per
+            # distinct suffix — only reachable via compressor quirks, so tiny
+            for q in np.unique(s):
+                ixv = _probe_range(s, index.ix[a:b], int(q))
+                if ixv is not None:
+                    out_pre.append(p); out_hi.append(int(q) >> 32)
+                    out_lo.append(int(q) & 0xFFFFFFFF); out_ix.append(ixv)
+        pre = np.concatenate([pre, np.asarray(out_pre, np.int32)])
+        hi = np.concatenate([hi, np.asarray(out_hi, np.int32)])
+        lo = np.concatenate([lo, np.asarray(out_lo, np.uint32)])
+        ix = np.concatenate([ix, np.asarray(out_ix, np.int32)])
     return pre, hi, lo, ix
 
 
@@ -297,13 +311,21 @@ def _canonical_groups(index: DeviceIndexArrays):
         | (hi.astype(np.uint64) << np.uint64(32))
         | lo.astype(np.uint64)
     )
+    del pre, hi, lo
     r = _rc64(w)
     c = np.minimum(w, r)
+    del r
     is_fwd = w == c
+    del w
+    # transients retire as soon as possible: at the 1.2G flagship scale each
+    # full-width array here is ~10GB of host RAM
     order = np.argsort(c, kind="stable")
     cs = c[order]
+    del c
     isf = is_fwd[order]
+    del is_fwd
     ixs = ix[order].astype(np.uint32)
+    del ix, order
     new = np.ones(len(cs), bool)
     if len(cs) > 1:
         new[1:] = cs[1:] != cs[:-1]
@@ -313,18 +335,25 @@ def _canonical_groups(index: DeviceIndexArrays):
     vb = np.zeros(ng, np.uint32)
     va[gid[isf]] = ixs[isf] + np.uint32(1)
     vb[gid[~isf]] = ixs[~isf] + np.uint32(1)
+    del gid, isf, ixs
     ck = cs[new]
+    del cs, new
     pal = ck == _rc64(ck)  # palindromic 32-mer: one word, hit on both scans
     vb[pal] = va[pal]
+    del pal
     if wide:
         vals = np.stack([va.view(np.int32), vb.view(np.int32)], axis=1)
     else:
         vals = (va | (vb << np.uint32(16))).view(np.int32)[:, None]
+    del va, vb
     key_lo = (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
     key_hi = (ck >> np.uint64(32)).astype(np.uint32).view(np.int32)
-    cpre = (ck >> np.uint64(40)).astype(np.int64)
-    chi = ((ck >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
-    clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # (cpre, chi, clo) feed only the uint32 mixes (_mix_np and twins), which
+    # truncate to the low 32 bits of whatever integer dtype arrives — narrow
+    # lanes are bit-identical inputs at a third of the memory
+    cpre = (ck >> np.uint64(40)).astype(np.int32)
+    chi = ((ck >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
+    clo = key_lo
     return key_lo, key_hi, vals, cpre, chi, clo, ng
 
 
@@ -453,7 +482,7 @@ def build_hash_index(index: DeviceIndexArrays, slots: int = 8, load: float = 0.4
     h = _mix_np(pre, hi, lo)
     bucket = (h & np.uint32(b1 - 1)).astype(np.int64)
     key_lo = lo.astype(np.uint32).view(np.int32)
-    key_hi = ((pre << 8) | hi).astype(np.uint32).view(np.int32)
+    key_hi = ((pre.astype(np.int64) << 8) | hi).astype(np.uint32).view(np.int32)
 
     t1 = np.full((b1, slots * 3), -1, np.int32)
     order = np.argsort(bucket, kind="stable")

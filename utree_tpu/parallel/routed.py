@@ -357,22 +357,38 @@ class ShardedDisplacedIndex:
 
         if workers is None:
             workers = min(S, os.cpu_count() or 1)
+        # assemble incrementally instead of np.stack-ing a list at the end:
+        # holding every per-shard slab AND the stacked copy doubles t1's
+        # footprint (~68GB at the 1.2G flagship tier)
+        t1_all = seeds_all = None
+        spills: list = [None] * S
+
+        def consume(s: int, res) -> None:
+            nonlocal t1_all, seeds_all
+            t1_s, seeds_s, spilled_s = res
+            if t1_all is None:
+                t1_all = np.empty((S,) + t1_s.shape, t1_s.dtype)
+                seeds_all = np.empty((S,) + seeds_s.shape, seeds_s.dtype)
+            t1_all[s] = t1_s
+            seeds_all[s] = seeds_s
+            spills[s] = spilled_s
+
         if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import ThreadPoolExecutor, as_completed
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                results = list(pool.map(place_shard, range(S)))
+                futs = {pool.submit(place_shard, s): s for s in range(S)}
+                for f in as_completed(futs):
+                    consume(futs[f], f.result())
         else:
-            results = [place_shard(s) for s in range(S)]
-        t1s = [r[0] for r in results]
-        seedss = [r[1] for r in results]
-        spills = [r[2] for r in results]
+            for s in range(S):
+                consume(s, place_shard(s))
         spilled = np.concatenate(spills) if spills else np.zeros(0, np.int64)
         if len(spilled) > spill_budget:
             raise ValueError(
                 f"sharded displaced spill {len(spilled)} exceeds the cached budget")
         t3 = build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo)
-        return cls(t1=np.stack(t1s), seeds=np.stack(seedss), t3=t3,
+        return cls(t1=t1_all, seeds=seeds_all, t3=t3,
                    num_shards=S, nseed=nseed,
                    slots3=t3.shape[1] // (2 + vals.shape[1]),
                    wide=vals.shape[1] == 2, num_entries=ng)
