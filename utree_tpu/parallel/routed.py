@@ -333,6 +333,7 @@ class ShardedDisplacedIndex:
         owner = bucket // per_seed
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=S)
+        del owner  # ~10GB at the 1.2G tier; the partition is (order, bounds)
         bounds = np.zeros(S + 1, np.int64)
         np.cumsum(counts, out=bounds[1:])
         nslots = max(int(int(counts.max()) / load) & ~1, 64)
