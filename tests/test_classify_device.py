@@ -74,12 +74,14 @@ def _toprint(strings, rep, dvcode, dv):
     return strings[rep][:dv]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_device_walk_matches_host_oracle(seed):
+@pytest.mark.parametrize("seed,cap,taxacut", [
+    (0, 8, 4), (1, 8, 4), (2, 8, 4), (3, 8, 4),
+    (4, 4, 4), (5, 12, 4), (6, 8, 2), (7, 8, 8),
+])
+def test_device_walk_matches_host_oracle(seed, cap, taxacut):
     rng = np.random.default_rng(seed)
     L = int(rng.integers(8, 80))
     strings = _random_strings(rng, L)
-    cap = 8
     batch_u, batch_c = [], []
     for _ in range(300):
         k = int(rng.integers(2, cap + 1))
@@ -88,10 +90,11 @@ def test_device_walk_matches_host_oracle(seed):
         c = rng.integers(1, 12, size=len(u))
         batch_u.append(u.astype(np.int64))
         batch_c.append(c.astype(np.int64))
-    rep, dvcode, dv, sl, ol, flag = _device(strings, batch_u, batch_c, cap)
+    rep, dvcode, dv, sl, ol, flag = _device(strings, batch_u, batch_c, cap,
+                                            taxacut=taxacut)
     assert not flag.any()
     for b, (u, c) in enumerate(zip(batch_u, batch_c)):
-        want_tp, want_sl, want_ol = _expected(strings, u, c)
+        want_tp, want_sl, want_ol = _expected(strings, u, c, taxacut)
         got_tp = _toprint(strings, int(rep[b]), int(dvcode[b]), int(dv[b]))
         assert got_tp == want_tp, (b, strings, u.tolist(), c.tolist(),
                                    got_tp, want_tp)
