@@ -312,6 +312,14 @@ class VoteEngine:
                 offs[i + 1] = offs[i] + len(s) + 1
             self.string_pool = b"\x00".join(strings) + b"\x00"
             self.string_offsets = offs
+            self.max_label = max((len(s) for s in strings), default=0)
+
+    def _out_cap(self, n: int, name_pool_len: int) -> int:
+        """First-try output budget: every line is name + one label + ~48
+        digits/tabs.  Under-sizing costs a FULL re-format pass per growth
+        retry (measured as a real share of drain:vote at 65536-read
+        batches), so start at the bound instead of 1MB-and-grow."""
+        return max(1 << 20, name_pool_len + n * (self.max_label + 48))
 
     @property
     def available(self) -> bool:
@@ -342,7 +350,7 @@ class VoteEngine:
         labels: np.ndarray,
         counts: np.ndarray,
     ) -> bytes:
-        cap = 1 << 20
+        cap = self._out_cap(n, len(name_pool))
         while True:
             out = ctypes.create_string_buffer(cap)
             wrote = self.lib.utree_vote_batch(
@@ -382,7 +390,7 @@ class VoteEngine:
         Rows whose nuniq exceeds cap_cols must be listed (ascending) in the
         override CSR (host-exact recompute, the cap-overflow contract)."""
         packed = np.ascontiguousarray(packed, np.uint32)
-        cap = 1 << 20
+        cap = self._out_cap(n, len(name_pool))
         while True:
             out = ctypes.create_string_buffer(cap)
             wrote = self.lib.utree_vote_packed(
@@ -418,7 +426,7 @@ class VoteEngine:
         (lookup.search_step_vote_compact layout); flagged rows take the
         override CSR through the full host walk in C."""
         rows = np.ascontiguousarray(rows, np.uint32)
-        cap = 1 << 20
+        cap = self._out_cap(n, len(name_pool))
         while True:
             out = ctypes.create_string_buffer(cap)
             wrote = self.lib.utree_format_device_vote(
