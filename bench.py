@@ -135,6 +135,7 @@ def run_tier(num_kmers: int) -> dict:
     # — smaller caps trade rare host replays for fewer d2h bytes per read.
     hist_cap = int(os.environ.get("BENCH_CAP", 8))
     compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    devvote = os.environ.get("BENCH_DEVVOTE", "1") == "1"  # aufbau on device
     if not 1 <= hist_cap <= 30:
         raise SystemExit(f"BENCH_CAP={hist_cap} out of range 1..30 "
                          "(5-bit packed nuniq lane)")
@@ -185,7 +186,8 @@ def run_tier(num_kmers: int) -> dict:
     tracer = PhaseTimer(quiet=True)
     pipe = SearchPipeline(index, do_rc=do_rc, batch_size=batch, tracer=tracer,
                           lookup_mode=lookup_mode, _table=table,
-                          hist_cap=hist_cap, compact_readback=compact)
+                          hist_cap=hist_cap, compact_readback=compact,
+                          device_vote=devvote)
     log(f"bench: table_kind={pipe.table_kind} (warm-jit regime measured; "
         "first-compile excluded by the warmup batch)")
 
