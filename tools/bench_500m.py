@@ -87,6 +87,14 @@ def main():
                          "32MB-capped default ~4.5: ~2x faster placement, "
                          "bigger per-shard seed tables (both exact — the "
                          "probe reads the stored seeds)")
+    ap.add_argument("--lam", type=float, default=None,
+                    help="explicit seed-bucket lambda target (nseed = next "
+                         "pow2 of kmers/lam); lower = sparser buckets = "
+                         "faster placement + less spill, bigger seed table")
+    ap.add_argument("--spill-budget", type=int, default=None,
+                    help="override the cached-t3 spill budget (exactness is "
+                         "unaffected; a big spill tail only costs probe "
+                         "speed on real chips)")
     a = ap.parse_args()
 
     import jax
@@ -132,9 +140,14 @@ def main():
 
     t0 = time.perf_counter()
     nseed = None
-    if a.fast_lambda:
+    if a.lam is not None:
+        nseed = max(4, 1 << int(np.ceil(np.log2(max(1, nk / a.lam)))))
+    elif a.fast_lambda:
         nseed = max(4, 1 << int(np.ceil(np.log2(max(1, nk / 4)))))
-    sharded = ShardedDisplacedIndex.build(index, a.shards, nseed=nseed)
+    kw = {}
+    if a.spill_budget is not None:
+        kw["spill_budget"] = a.spill_budget
+    sharded = ShardedDisplacedIndex.build(index, a.shards, nseed=nseed, **kw)
     t_place = time.perf_counter() - t0
     spill = 0
     if sharded.t3.shape[0] > 8:
