@@ -97,6 +97,39 @@ int64_t xt_scan_queries(const char* data, int64_t size, int64_t* recs,
 // pre_out/seed_out[qoff[q] ..]; counts[q] reports how many.  sfx must carry
 // the one-past sentinel pod (align.py:100-104), so probe() may read index
 // bins[last].
+namespace {
+
+// One query's rolling fwd+RC scan: hits appended to pq/sq, count returned.
+static inline int64_t scan_one(const uint8_t* s, int64_t n, int32_t k,
+                               int32_t sl, uint64_t mask_k, uint64_t mask_sl,
+                               const int64_t* bins, const int64_t* sfx,
+                               int64_t* pq, int64_t* sq) {
+    int64_t c = 0;
+    if (n < k) return 0;
+    uint64_t w = 0, r = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; i++) {
+        const int8_t cd = CODE[s[i]];
+        const uint64_t cc = cd < 0 ? 0 : (uint64_t)cd;
+        if (cd < 0) last_bad = i;
+        w = ((w << 2) | cc) & mask_k;
+        r = (r >> 2) | ((3ull - cc) << (2 * (k - 1)));
+        const int64_t x = i - k + 1;
+        if (x < 0 || last_bad >= x) continue;
+        const int64_t pre_f = (int64_t)(w >> (2 * sl));
+        const int64_t pre_r = (int64_t)(r >> (2 * sl));
+        int64_t sd = probe(sfx, bins[pre_f], bins[pre_f + 1],
+                           (int64_t)(w & mask_sl));
+        if (sd >= 0) { pq[c] = pre_f; sq[c] = sd; c++; }
+        sd = probe(sfx, bins[pre_r], bins[pre_r + 1],
+                   (int64_t)(r & mask_sl));
+        if (sd >= 0) { pq[c] = pre_r; sq[c] = sd; c++; }
+    }
+    return c;
+}
+
+}  // namespace
+
 void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* qs,
                   const int64_t* qe, int32_t k, int32_t pl,
                   const int64_t* bins, const int64_t* sfx,
@@ -107,33 +140,9 @@ void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* qs,
     const uint64_t mask_sl = (1ull << (2 * sl)) - 1;
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t q = 0; q < nq; q++) {
-        const uint8_t* s = pool + qs[q];
-        const int64_t n = qe[q] - qs[q];
-        int64_t* pq = pre_out + qoff[q];
-        int64_t* sq = seed_out + qoff[q];
-        int64_t c = 0;
-        if (n >= k) {
-            uint64_t w = 0, r = 0;
-            int64_t last_bad = -1;
-            for (int64_t i = 0; i < n; i++) {
-                const int8_t cd = CODE[s[i]];
-                const uint64_t cc = cd < 0 ? 0 : (uint64_t)cd;
-                if (cd < 0) last_bad = i;
-                w = ((w << 2) | cc) & mask_k;
-                r = (r >> 2) | ((3ull - cc) << (2 * (k - 1)));
-                const int64_t x = i - k + 1;
-                if (x < 0 || last_bad >= x) continue;
-                const int64_t pre_f = (int64_t)(w >> (2 * sl));
-                const int64_t pre_r = (int64_t)(r >> (2 * sl));
-                int64_t sd = probe(sfx, bins[pre_f], bins[pre_f + 1],
-                                   (int64_t)(w & mask_sl));
-                if (sd >= 0) { pq[c] = pre_f; sq[c] = sd; c++; }
-                sd = probe(sfx, bins[pre_r], bins[pre_r + 1],
-                           (int64_t)(r & mask_sl));
-                if (sd >= 0) { pq[c] = pre_r; sq[c] = sd; c++; }
-            }
-        }
-        counts[q] = c;
+        counts[q] = scan_one(pool + qs[q], qe[q] - qs[q], k, sl, mask_k,
+                             mask_sl, bins, sfx, pre_out + qoff[q],
+                             seed_out + qoff[q]);
     }
 }
 
@@ -155,6 +164,79 @@ void xt_scan_hits(int64_t nq, const uint8_t* pool, const int64_t* qs,
 #include <vector>
 
 extern "C" {
+
+// Fused scan + ref vote for the fast path (no cov/redist): per query, scan
+// windows into its pre-sized hit span, then IMMEDIATELY run the distinct-ref
+// tally over the still-cache-hot hits (expansion + consecutive-rix dedupe +
+// the probed-bin hardstop, xtree.c:1104-1138) and reduce to tix/max/max2/
+// argmax (smaller-rix tie-break via the unsigned -1 initial,
+// xtree.c:1131-1138).  Saves the separate xt_ref_tally walk, its ebase
+// pass, and the xt_tally_bounds re-walk — the CSR nobody reads on this
+// path is simply never built.  Hit spans are still written (the deep
+// taxonomy call re-reads them for ambiguous queries).
+void xt_scan_hits_tally(int64_t nq, const uint8_t* pool, const int64_t* qs,
+                        const int64_t* qe, int32_t k, int32_t pl,
+                        const int64_t* bins, const int64_t* sfx,
+                        const int64_t* run_end_ext, const int64_t* rix,
+                        int64_t R, const int64_t* qoff,
+                        int64_t* pre_out, int64_t* seed_out, int64_t* counts,
+                        int64_t* mx, int64_t* mx2, int64_t* mixv) {
+    const int32_t sl = k - pl;
+    const uint64_t mask_k = (2 * k == 64) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const uint64_t mask_sl = (1ull << (2 * sl)) - 1;
+#pragma omp parallel
+    {
+        std::vector<int64_t> cnt(R, 0), stamp(R, -1);
+        std::vector<int64_t> touched;
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t q = 0; q < nq; q++) {
+            int64_t* pq = pre_out + qoff[q];
+            int64_t* sq = seed_out + qoff[q];
+            const int64_t c = scan_one(pool + qs[q], qe[q] - qs[q], k, sl,
+                                       mask_k, mask_sl, bins, sfx, pq, sq);
+            counts[q] = c;
+            touched.clear();
+            for (int64_t i = 0; i < c; i++) {
+                const int64_t s = sq[i];
+                int64_t e = run_end_ext[s];
+                const int64_t hard = bins[pq[i] + 1];
+                if (hard < e) e = hard;
+                int64_t prev = -1;
+                for (int64_t j = s; j < e; j++) {
+                    const int64_t rx = rix[j];
+                    if (rx == prev) continue;
+                    prev = rx;
+                    if (stamp[rx] != q) {
+                        stamp[rx] = q;
+                        cnt[rx] = 1;
+                        touched.push_back(rx);
+                    } else {
+                        cnt[rx]++;
+                    }
+                }
+            }
+            int64_t m1 = 0, m2 = 0;
+            uint64_t mi = ~0ull;  // (rix_t)-1: unsigned compare initial
+            for (size_t t = 0; t < touched.size(); t++) {
+                const int64_t rx = touched[t];
+                const int64_t cc = cnt[rx];
+                if (cc > m1) {
+                    m2 = m1;
+                    m1 = cc;
+                    mi = (uint64_t)rx;
+                } else if (cc == m1) {  // equal max: mx2 gains multiplicity
+                    m2 = cc;
+                    if ((uint64_t)rx < mi) mi = (uint64_t)rx;
+                } else if (cc > m2) {
+                    m2 = cc;
+                }
+            }
+            mx[q] = m1;
+            mx2[q] = m2;
+            mixv[q] = mi == ~0ull ? -1 : (int64_t)mi;
+        }
+    }
+}
 
 // Per-query distinct-ref counts + max/max2/argmax.  Hits arrive qid-ascending
 // (scan order); qstart[q]..qstart[q+1] bounds query q's hits; out arrays are

@@ -472,8 +472,44 @@ def xtree_lib():
     lib.xt_scan_queries.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, I64, ctypes.c_int64,
     ]
+    lib.xt_scan_hits_tally.restype = None
+    lib.xt_scan_hits_tally.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, I64, I64,
+        ctypes.c_int32, ctypes.c_int32,
+        I64, I64, I64, I64, ctypes.c_int64,
+        I64, I64, I64, I64, I64, I64, I64,
+    ]
     _xtree_lib = lib
     return lib
+
+
+def xt_scan_hits_tally(lib, pool, qs, qe, k: int, pl: int, bins, sfx,
+                       run_end_ext, rix, R: int):
+    """Fused scan + ref vote (native/xtree.cpp:xt_scan_hits_tally):
+    (qid, prefix, seed, tix, mx, mx2, mix) for a query chunk — the fast
+    path's whole pre-taxonomy stage in one C pass."""
+    nq = len(qs)
+    wn = np.maximum((qe - qs) - k + 1, 0)
+    qoff = np.zeros(nq + 1, np.int64)
+    np.cumsum(2 * wn, out=qoff[1:])
+    pre_out = np.empty(int(qoff[-1]), np.int64)
+    seed_out = np.empty(int(qoff[-1]), np.int64)
+    counts = np.zeros(nq, np.int64)
+    mx = np.zeros(nq, np.int64)
+    mx2 = np.zeros(nq, np.int64)
+    mix = np.zeros(nq, np.int64)
+    lib.xt_scan_hits_tally(
+        nq, pool, np.ascontiguousarray(qs, np.int64),
+        np.ascontiguousarray(qe, np.int64), k, pl, bins, sfx,
+        run_end_ext, rix, R, qoff, pre_out, seed_out, counts, mx, mx2, mix)
+    qid = np.repeat(np.arange(nq, dtype=np.int64), counts)
+    if int(counts.sum()) != int(qoff[-1]):
+        from utree_tpu.hash_index import _ranges_to_indices
+
+        nz = counts > 0
+        idx = _ranges_to_indices(qoff[:-1][nz], counts[nz])
+        pre_out, seed_out = pre_out[idx], seed_out[idx]
+    return qid, pre_out, seed_out, counts, mx, mx2, mix
 
 
 def xt_scan_queries(lib, data: bytes) -> np.ndarray:

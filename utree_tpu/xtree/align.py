@@ -620,7 +620,24 @@ class XtreeAligner:
             Q = len(seqs)
         nuh = self.n_uniq_h
         conf = opts.confidence
-        if self._dev_step is not None:
+        fused = (self._dev_step is None and self._xt_lib is not None
+                 and not opts.cov_out and not opts.do_redist)
+        if fused:
+            # fast path: scan + ref vote fused per query in one C pass (the
+            # CSR only cov/redist read is never built)
+            from utree_tpu.native import xt_scan_hits_tally
+
+            if spans is not None:
+                pool, qs, qe = data, recs[:, 2], recs[:, 3]
+            else:
+                offsets = np.zeros(Q + 1, np.int64)
+                np.cumsum([len(s) for s in seqs], out=offsets[1:])
+                pool, qs, qe = b"".join(seqs), offsets[:-1], offsets[1:]
+            qid_h, pres_h, seeds_h, tix, mx, mx2, mix = xt_scan_hits_tally(
+                self._xt_lib, pool, qs, qe, self.k, self.pl, self.bins,
+                self.sfx, self.run_end_ext, self.rix, self.db.num_refs)
+            rt = None
+        elif self._dev_step is not None:
             qid_h, pres_h, seeds_h = self._batch_hits_device(seqs)
         elif self._xt_lib is not None:
             from utree_tpu.native import xt_scan_hits
@@ -637,12 +654,14 @@ class XtreeAligner:
                     self.k, self.pl, self.bins, self.sfx)
         else:
             qid_h, pres_h, seeds_h = self._batch_hits(seqs)
-        tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
-        if self._xt_lib is not None and not opts.cov_out:
-            mx, mx2, mix, rt = self._batch_ref_tally_native(
-                qid_h, pres_h, seeds_h, Q)
-        else:
-            mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h, seeds_h, Q)
+        if not fused:
+            tix = np.bincount(qid_h, minlength=Q).astype(np.int64)
+            if self._xt_lib is not None and not opts.cov_out:
+                mx, mx2, mix, rt = self._batch_ref_tally_native(
+                    qid_h, pres_h, seeds_h, Q)
+            else:
+                mx, mx2, mix, rt = self._batch_ref_tally(qid_h, pres_h,
+                                                         seeds_h, Q)
         matched = (tix > 0) & (mix != -1) & (mx >= opts.n_uniq_matches)
 
         if opts.cov_out:
