@@ -22,7 +22,7 @@ def data(tmp_path_factory):
 def test_cli_build_compress_search_golden(data, tmp_path):
     wd, _ = data
     gold = run_oracle_pipeline(str(wd / "refs.fa"), str(wd / "tax.map"),
-                               str(wd / "reads.fa"), "cli_gold",
+                               str(wd / "reads.fa"), str(tmp_path / "gold"),
                                complevel=2, do_rc=True)
     cli_main(["build", str(wd / "refs.fa"), str(wd / "tax.map"),
               str(tmp_path / "db.ubt"), "--complevel", "2"])
