@@ -834,8 +834,16 @@ def build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo,
     if not len(spilled):
         return np.zeros((8, slots3 * cps), np.int32)
     h3 = _mix_np(cpre[spilled], chi[spilled], clo[spilled] ^ np.int64(0x27D4EB2F))
+    # the ladder's last tiers give up cache residency rather than fail: a
+    # multi-million-entry spill (seen at 150M-entries-per-shard routed
+    # placements, bench1200m_r5.log) lands in an HBM-resident tail — slower
+    # per probe than a cached one, still ~10x better than losing the whole
+    # displaced path to the bsearch replay.  Any consistent geometry is
+    # exact (the probe reads the stored shape).
     for s3, cap in ((slots3, _T3_BYTE_CAP), (slots3 * 2, _T3_BYTE_CAP),
-                    (slots3 * 4, 2 * _T3_BYTE_CAP), (slots3 * 8, 4 * _T3_BYTE_CAP)):
+                    (slots3 * 4, 2 * _T3_BYTE_CAP), (slots3 * 8, 4 * _T3_BYTE_CAP),
+                    (slots3 * 8, 64 * _T3_BYTE_CAP),
+                    (slots3 * 16, 1 << 34)):
         b3 = max(16, 1 << int(np.ceil(np.log2(max(1, len(spilled) / (s3 * 0.3))))))
         while b3 * s3 * cps * 4 > cap and b3 > 16:
             b3 //= 2
@@ -848,7 +856,11 @@ def build_spill_t3(spilled, key_lo, key_hi, vals, cpre, chi, clo,
             b3 *= 2
             if b3 * s3 * cps * 4 > cap:
                 break
-    raise ValueError("displaced spill tail overflow")
+    raise ValueError(
+        f"displaced spill tail overflow: {len(spilled)} spilled entries "
+        "could not be bucketed even HBM-resident — lower the placement "
+        "lambda (more seeds), raise the load headroom, or use more shards "
+        "(smaller per-shard tables spill less)")
 
 
 def place_displaced(
